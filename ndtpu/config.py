@@ -1,0 +1,177 @@
+"""Configuration dataclasses for the ndtpu SLAM engine.
+
+Capability parity: the reference class of system exposes parameter structs
+(GTSAM ``ISAM2Params`` / ``GaussNewtonParams``; NDT cell size / iteration
+caps as app constants) — SURVEY.md §6 "Config / flag system". Here every
+subsystem gets a frozen dataclass; all fields that affect traced shapes or
+control flow are static Python values so a config change maps to exactly one
+XLA recompilation.
+
+Configs are JSON-loadable; the five BASELINE.md measurement configs live in
+``configs/*.json`` and parse into :class:`PipelineConfig`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class GridConfig:
+    """Geometry of the dense NDT grid (static — fixes array shapes).
+
+    The map covers ``[x0, x0 + nx*cell)`` x ``[y0, y0 + ny*cell)``.
+    ``overlap`` selects the classic Biber/Strasser 4-shifted-grid scheme
+    (4) or a single grid (1); shifted grids reduce discretization artifacts
+    (SURVEY.md §4.2 "+3 shifted grids in classic 2D NDT").
+    """
+
+    x0: float = -30.0
+    y0: float = -30.0
+    cell: float = 1.0
+    nx: int = 64
+    ny: int = 64
+    overlap: int = 4  # 1 or 4
+
+    @property
+    def n_cells(self) -> int:
+        return self.nx * self.ny
+
+
+@dataclasses.dataclass(frozen=True)
+class NDTMapConfig:
+    """NDT cell statistics → Gaussian finalization parameters.
+
+    ``min_pts``: cells with fewer points have no meaningful covariance and
+    are masked invalid (standard NDT practice; SURVEY.md §3.1 "NDT cell").
+    ``eig_ratio``: the smaller covariance eigenvalue is clamped to
+    ``eig_ratio * lambda_max`` (Magnusson 2009 regularization) so near-line
+    walls stay well conditioned in f32.
+    """
+
+    min_pts: int = 3
+    eig_ratio: float = 1e-3
+    # Absolute eigenvalue floor: sigma_perp >= 0.1 m. A razor-thin wall
+    # Gaussian (sensor noise ~cm) makes the attraction basin a few cm wide;
+    # flooring at ~10% of a typical 1 m cell keeps half-meter initial-guess
+    # errors inside the basin without blurring the optimum materially.
+    eig_abs_min: float = 0.01
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchConfig:
+    """Gauss-Newton / Levenberg-Marquardt NDT registration parameters.
+
+    Mirrors the capability of the reference's ``NDTMatcher::match`` iteration
+    controls (SURVEY.md §4.2): damped Newton steps on the NDT score over
+    (tx, ty, phi) with step control, fixed iteration cap, tolerance stop.
+    """
+
+    max_iter: int = 30
+    tol: float = 1e-4           # convergence threshold on |delta|
+    d2: float = 0.5             # Magnusson exponent softening (0 < d2 <= 1):
+                                # score = exp(-d2/2 * mahalanobis^2); d2 < 1
+                                # shrinks the indefinite -a a^T Hessian term,
+                                # widening the convergence basin (Magnusson
+                                # 2009 d1/d2 parametrization)
+    init_lambda: float = 1e-3   # initial LM damping
+    lambda_up: float = 10.0
+    lambda_down: float = 3.0
+    max_lambda: float = 1e6
+    step_clip: float = 2.0      # max |translation step| (m) per iteration
+    exp_clip: float = 40.0      # clamp on Mahalanobis exponent (f32 safety)
+
+
+@dataclasses.dataclass(frozen=True)
+class KeyframeConfig:
+    """Keyframe spawning thresholds (SURVEY.md §3.1 'Keyframe manager')."""
+
+    dist_thresh: float = 0.5    # m of translation since last keyframe
+    angle_thresh: float = 0.30  # rad of rotation since last keyframe
+    capacity: int = 1024        # static keyframe array capacity
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopConfig:
+    """Loop-closure candidate generation + batched verification
+    (SURVEY.md §4.5)."""
+
+    radius: float = 5.0         # candidate search radius (m)
+    min_index_gap: int = 30     # min keyframe index separation
+    max_candidates: int = 64    # static batch size of verifications per call
+    score_gate: float = 0.30    # min mean per-point NDT score to accept
+    local_half_extent: float = 15.0  # half-size (m) of per-keyframe local map
+    local_cell: float = 1.0
+    local_overlap: int = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Pose-graph solver parameters (capability of GTSAM GaussNewton/LM +
+    ISAM2 iteration controls; SURVEY.md §3.2)."""
+
+    max_iter: int = 20
+    tol: float = 1e-6           # stop when |delta| below this
+    init_lambda: float = 1e-4   # LM damping for the nonlinear loop
+    lambda_up: float = 10.0
+    lambda_down: float = 3.0
+    # PCG (large sparse graphs):
+    pcg_max_iter: int = 250
+    pcg_tol: float = 1e-5
+    # incremental smoother:
+    relin_threshold: float = 0.05   # relinearize keys whose |delta| exceeds
+    inc_iters: int = 2              # GN iterations per incremental update
+    full_solve_every: int = 50      # periodic full batched solve
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """One end-to-end SLAM run = one PipelineConfig (one per BASELINE config)."""
+
+    grid: GridConfig = GridConfig()
+    ndt: NDTMapConfig = NDTMapConfig()
+    match: MatchConfig = MatchConfig()
+    keyframe: KeyframeConfig = KeyframeConfig()
+    loop: LoopConfig = LoopConfig()
+    solver: SolverConfig = SolverConfig()
+    n_beams: int = 360
+    max_range: float = 20.0
+    min_range: float = 0.1
+    use_loop_closure: bool = True
+    seed: int = 0
+
+    @staticmethod
+    def from_json(path: str) -> "PipelineConfig":
+        with open(path) as f:
+            raw = json.load(f)
+        return _from_dict(PipelineConfig, raw)
+
+    def to_json(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(self), f, indent=2)
+
+
+def _from_dict(cls: Any, raw: Any) -> Any:
+    if not dataclasses.is_dataclass(cls):
+        return raw
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for key, val in raw.items():
+        if key not in fields:
+            raise KeyError(f"unknown config field {key!r} for {cls.__name__}")
+        ftype = fields[key].type
+        sub = _DATACLASS_FIELDS.get((cls.__name__, key))
+        kwargs[key] = _from_dict(sub, val) if sub is not None else val
+    return cls(**kwargs)
+
+
+_DATACLASS_FIELDS = {
+    ("PipelineConfig", "grid"): GridConfig,
+    ("PipelineConfig", "ndt"): NDTMapConfig,
+    ("PipelineConfig", "match"): MatchConfig,
+    ("PipelineConfig", "keyframe"): KeyframeConfig,
+    ("PipelineConfig", "loop"): LoopConfig,
+    ("PipelineConfig", "solver"): SolverConfig,
+}

@@ -1,0 +1,204 @@
+"""NDT grid-map construction as batched tensor programs.
+
+Capability parity (SURVEY.md §3.1 "NDT cell / grid map", §4.4): each grid
+cell accumulates the sufficient statistics ``(n, sum p, sum p p^T)`` of the
+points that fell in it; the per-cell Gaussian ``(mu, Sigma)`` is derived from
+them with eigenvalue regularization (Biber & Strasser 2003; Magnusson 2009).
+
+TPU-first design (not a port of the reference's per-point C++ loop):
+
+- The map is a **dense SoA tensor** over all ``G x C`` cells (``G`` = number
+  of half-cell-shifted overlap grids, ``C = nx*ny``) — static shapes, so the
+  map can live inside ``lax.scan`` carries and be sharded with
+  ``NamedSharding``.
+- Accumulation is one ``jax.ops.segment_sum`` over flattened ``G*N`` point
+  slots — XLA lowers this to an efficient sorted scatter-add; there is no
+  per-point host loop anywhere.
+- Statistics are *incremental*: ``add_points`` can be called per scan (online
+  map build, SURVEY.md §1 capability 4) and ``finalize`` is a cheap
+  closed-form pass (2x2 eigendecomposition is analytic) done whenever the
+  matcher needs a fresh Gaussian view.
+- Everything is dtype-polymorphic; f32 on TPU, f64 for test oracles.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ndtpu.config import GridConfig, NDTMapConfig
+
+__all__ = [
+    "NDTStats",
+    "NDTMap",
+    "cell_ids",
+    "empty_stats",
+    "add_points",
+    "build_stats",
+    "finalize",
+    "lookup",
+]
+
+
+class NDTStats(NamedTuple):
+    """Raw per-cell sufficient statistics (the incremental map state).
+
+    n:  ``[G, C]``        point count per cell (float for segment_sum).
+    s:  ``[G, C, 2]``     sum of points.
+    ss: ``[G, C, 2, 2]``  sum of outer products ``p p^T``.
+    """
+
+    n: jax.Array
+    s: jax.Array
+    ss: jax.Array
+
+
+class NDTMap(NamedTuple):
+    """Finalized Gaussian view of the map, consumed by the matcher.
+
+    mean:  ``[G, C, 2]``
+    icov:  ``[G, C, 2, 2]`` inverse of the regularized covariance.
+    valid: ``[G, C]``       1.0 where the cell has >= min_pts points.
+    """
+
+    mean: jax.Array
+    icov: jax.Array
+    valid: jax.Array
+
+
+def _grid_offsets(grid: GridConfig, dtype) -> jnp.ndarray:
+    """Origin shifts ``[G, 2]`` for the overlap grids (half-cell shifts)."""
+    h = grid.cell / 2.0
+    if grid.overlap == 1:
+        offs = [(0.0, 0.0)]
+    elif grid.overlap == 4:
+        offs = [(0.0, 0.0), (h, 0.0), (0.0, h), (h, h)]
+    else:
+        raise ValueError(f"overlap must be 1 or 4, got {grid.overlap}")
+    return jnp.asarray(offs, dtype=dtype)
+
+
+def cell_ids(points: jax.Array, grid: GridConfig):
+    """Cell indices for each point in each overlap grid.
+
+    points: ``[..., N, 2]`` world-frame points.
+    Returns ``(ids, inb)``: ids ``[..., G, N]`` int32 flat cell index
+    (clipped into range), inb ``[..., G, N]`` bool in-bounds mask.
+    """
+    dtype = points.dtype
+    offs = _grid_offsets(grid, dtype)  # [G, 2]
+    origin = jnp.asarray([grid.x0, grid.y0], dtype=dtype)
+    # [..., 1, N, 2] - [G, 1, 2] -> [..., G, N, 2]
+    rel = (points[..., None, :, :] - origin - offs[:, None, :]) / jnp.asarray(
+        grid.cell, dtype
+    )
+    ix = jnp.floor(rel[..., 0]).astype(jnp.int32)
+    iy = jnp.floor(rel[..., 1]).astype(jnp.int32)
+    inb = (ix >= 0) & (ix < grid.nx) & (iy >= 0) & (iy < grid.ny)
+    ix = jnp.clip(ix, 0, grid.nx - 1)
+    iy = jnp.clip(iy, 0, grid.ny - 1)
+    return iy * grid.nx + ix, inb
+
+
+def empty_stats(grid: GridConfig, dtype=jnp.float32) -> NDTStats:
+    g, c = grid.overlap, grid.n_cells
+    return NDTStats(
+        n=jnp.zeros((g, c), dtype),
+        s=jnp.zeros((g, c, 2), dtype),
+        ss=jnp.zeros((g, c, 2, 2), dtype),
+    )
+
+
+def add_points(stats: NDTStats, points: jax.Array, mask: jax.Array,
+               grid: GridConfig) -> NDTStats:
+    """Accumulate masked points ``[N, 2]`` into the map statistics.
+
+    One ``segment_sum`` over ``G*N`` slots into ``G*C`` segments replaces the
+    reference's sequential per-point cell update (SURVEY.md §4.4); XLA sorts
+    and coalesces the scatter.
+    """
+    g, c = grid.overlap, grid.n_cells
+    ids, inb = cell_ids(points, grid)                # [G, N]
+    w = (mask[None, :] & inb).astype(points.dtype)    # [G, N]
+    seg = (ids + jnp.arange(g, dtype=jnp.int32)[:, None] * c).reshape(-1)
+    wp = (w[..., None] * points[None, :, :]).reshape(-1, 2)          # [G*N, 2]
+    outer = points[:, :, None] * points[:, None, :]                  # [N, 2, 2]
+    wpp = (w[..., None, None] * outer[None]).reshape(-1, 2, 2)       # [G*N, 2, 2]
+    dn = jax.ops.segment_sum(w.reshape(-1), seg, num_segments=g * c)
+    ds = jax.ops.segment_sum(wp, seg, num_segments=g * c)
+    dss = jax.ops.segment_sum(wpp, seg, num_segments=g * c)
+    return NDTStats(
+        n=stats.n + dn.reshape(g, c),
+        s=stats.s + ds.reshape(g, c, 2),
+        ss=stats.ss + dss.reshape(g, c, 2, 2),
+    )
+
+
+def build_stats(points: jax.Array, mask: jax.Array, grid: GridConfig) -> NDTStats:
+    """Build statistics from scratch for a point set ``[N, 2]``."""
+    return add_points(empty_stats(grid, points.dtype), points, mask, grid)
+
+
+def _eig2x2_sym(a, b, c):
+    """Closed-form eigendecomposition of symmetric [[a, b], [b, c]].
+
+    Returns ``(l1, l2, v1)`` with ``l1 >= l2`` and ``v1`` ``[..., 2]`` the
+    unit eigenvector of ``l1``. Fully branch-free (where-selects) so it
+    vmaps/jits over all cells at once — the TPU replacement for Eigen's
+    ``SelfAdjointEigenSolver`` per cell (SURVEY.md §3.2 'Dense linear
+    algebra').
+    """
+    half_tr = 0.5 * (a + c)
+    d = jnp.sqrt(jnp.maximum(0.25 * (a - c) ** 2 + b * b, 0.0))
+    l1, l2 = half_tr + d, half_tr - d
+    # Eigenvector of l1: [b, l1-a] unless b ~ 0, then an axis vector.
+    b_small = jnp.abs(b) <= 1e-20
+    vx = jnp.where(b_small, jnp.where(a >= c, 1.0, 0.0), b)
+    vy = jnp.where(b_small, jnp.where(a >= c, 0.0, 1.0), l1 - a)
+    nrm = jnp.sqrt(vx * vx + vy * vy)
+    nrm = jnp.where(nrm <= 1e-30, 1.0, nrm)
+    return l1, l2, jnp.stack([vx / nrm, vy / nrm], axis=-1)
+
+
+def finalize(stats: NDTStats, cfg: NDTMapConfig) -> NDTMap:
+    """Derive the Gaussian view: mean, regularized inverse covariance, mask.
+
+    Covariance eigenvalues are clamped from below at
+    ``max(eig_abs_min, eig_ratio * lambda_max)`` (Magnusson 2009) which keeps
+    the inverse well-conditioned in f32 — SURVEY.md §8 hard part #3.
+    """
+    n = stats.n
+    safe_n = jnp.maximum(n, 1.0)
+    mean = stats.s / safe_n[..., None]                             # [G, C, 2]
+    cov = stats.ss / safe_n[..., None, None] - mean[..., :, None] * mean[..., None, :]
+    a, b, c = cov[..., 0, 0], cov[..., 0, 1], cov[..., 1, 1]
+    l1, l2, v1 = _eig2x2_sym(a, b, c)
+    lmax = jnp.maximum(l1, cfg.eig_abs_min)
+    lmin = jnp.maximum(l2, jnp.maximum(cfg.eig_ratio * lmax, cfg.eig_abs_min))
+    # icov = V diag(1/l) V^T with V = [v1, v2], v2 = perp(v1).
+    v2 = jnp.stack([-v1[..., 1], v1[..., 0]], axis=-1)
+    icov = (
+        v1[..., :, None] * v1[..., None, :] / lmax[..., None, None]
+        + v2[..., :, None] * v2[..., None, :] / lmin[..., None, None]
+    )
+    valid = (n >= cfg.min_pts).astype(mean.dtype)
+    return NDTMap(mean=mean, icov=icov, valid=valid)
+
+
+def lookup(ndt_map: NDTMap, points: jax.Array, grid: GridConfig):
+    """Gather per-point Gaussians from every overlap grid.
+
+    points: ``[N, 2]`` world-frame. Returns ``(mean [G,N,2], icov [G,N,2,2],
+    w [G,N])`` where ``w`` is 1.0 for in-bounds points landing in valid cells.
+    This is the hot gather of the registration inner loop (SURVEY.md §4.2).
+    """
+    ids, inb = cell_ids(points, grid)          # [G, N]
+    take = jnp.take_along_axis
+    mean = take(ndt_map.mean, ids[..., None], axis=1)
+    icov = take(
+        ndt_map.icov.reshape(grid.overlap, grid.n_cells, 4), ids[..., None], axis=1
+    ).reshape(ids.shape + (2, 2))
+    valid = take(ndt_map.valid, ids, axis=1)
+    return mean, icov, valid * inb.astype(points.dtype)

@@ -1,0 +1,211 @@
+"""Batched NDT scan registration: score / gradient / Hessian + LM iteration.
+
+Capability parity (SURVEY.md §4.2 "NDT registration"): minimize the negative
+NDT likelihood ``f(T) = -sum_i exp(-1/2 d_i^T Lambda_i d_i)`` over the 2D
+rigid transform ``T = (tx, ty, phi)`` with analytic gradient and Hessian
+(including the second-order ``phi`` term), damped-Newton (Levenberg-
+Marquardt) steps with step control, and an iteration/tolerance stop. The
+converged Hessian is returned as the information matrix for the downstream
+pose-graph factor (reference behavior: ``H^{-1} -> factor covariance``).
+
+TPU-first design:
+
+- The per-point inner loop is one fused gather + vectorized FLOP block over
+  ``[G, N]`` (overlap grids x beams) — no point loop exists; XLA fuses the
+  exp/outer-product chain into the gather consumers.
+- The Newton iteration is a ``lax.while_loop`` whose carry holds
+  ``(pose, f, g, H, lambda, ...)`` — exactly one objective evaluation per
+  iteration (the trial point's f/g/H are reused on acceptance).
+- The whole matcher ``vmap``s over a leading batch axis — B concurrent
+  registrations (odometry windows, loop-closure candidates, multi-robot)
+  share one compiled program; this batching is where the >=5x scans/s/chip
+  target comes from (SURVEY.md §7).
+- Data-dependent convergence under jit uses the standard masked-early-exit
+  treatment (SURVEY.md §8 hard part #5).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ndtpu.config import GridConfig, MatchConfig
+from ndtpu.ndt.grid import NDTMap, lookup
+
+__all__ = ["MatchResult", "score_grad_hess", "match", "match_batch"]
+
+
+class MatchResult(NamedTuple):
+    pose: jax.Array       # [..., 3] optimized world-from-scan transform
+    hessian: jax.Array    # [..., 3, 3] objective Hessian at the optimum
+    score: jax.Array      # [...] mean per-point NDT score in [0, 1]
+    n_iter: jax.Array     # [...] LM iterations executed
+    converged: jax.Array  # [...] bool
+
+
+def score_grad_hess(pose, points, mask, ndt_map: NDTMap, grid: GridConfig,
+                    cfg: MatchConfig):
+    """Objective, gradient, Hessian of the NDT score at ``pose``.
+
+    pose: ``[3]``; points: ``[N, 2]`` scan in the sensor frame; mask ``[N]``.
+    Returns ``(f, g [3], H [3,3], score)`` where ``f`` is the value being
+    minimized (negative summed score) and ``score`` the mean per-point match
+    quality used by the loop-closure gate (SURVEY.md §4.5).
+    """
+    dt = points.dtype
+    c, s = jnp.cos(pose[2]), jnp.sin(pose[2])
+    px, py = points[..., 0], points[..., 1]
+    xw = jnp.stack(
+        [c * px - s * py + pose[0], s * px + c * py + pose[1]], axis=-1
+    )                                                   # [N, 2]
+    dxdphi = jnp.stack([-s * px - c * py, c * px - s * py], axis=-1)  # [N, 2]
+
+    mean, icov, w0 = lookup(ndt_map, xw, grid)          # [G,N,2],[G,N,2,2],[G,N]
+    w0 = w0 * mask.astype(dt)[None, :]
+    d = xw[None] - mean                                 # [G, N, 2]
+    q = jnp.einsum("gnij,gnj->gni", icov, d)            # [G, N, 2] = Lambda d
+    l2 = jnp.sum(d * q, axis=-1)                        # [G, N] Mahalanobis^2
+    d2 = jnp.asarray(cfg.d2, dt)
+    e = jnp.exp(-0.5 * d2 * jnp.clip(l2, 0.0, cfg.exp_clip))
+    w = w0 * e                                          # [G, N]
+
+    # a_k = d^T Lambda J_k with J = [e1 | e2 | dx/dphi]  -> a = [q_x, q_y, q.J3]
+    a3 = jnp.sum(q * dxdphi[None], axis=-1)
+    a = jnp.stack([q[..., 0], q[..., 1], a3], axis=-1)  # [G, N, 3]
+    g = d2 * jnp.einsum("gn,gnk->k", w, a)
+
+    # J^T Lambda J assembled from Lambda entries and Lambda @ J3.
+    ld = jnp.einsum("gnij,nj->gni", icov, dxdphi)       # [G, N, 2]
+    j33 = jnp.sum(dxdphi[None] * ld, axis=-1)           # [G, N]
+    jlj = jnp.stack(
+        [
+            jnp.stack([icov[..., 0, 0], icov[..., 0, 1], ld[..., 0]], axis=-1),
+            jnp.stack([icov[..., 0, 1], icov[..., 1, 1], ld[..., 1]], axis=-1),
+            jnp.stack([ld[..., 0], ld[..., 1], j33], axis=-1),
+        ],
+        axis=-2,
+    )                                                   # [G, N, 3, 3]
+    # Second-order term: d^2 xw / dphi^2 = -(R p) = -(xw - t).
+    hpp = -jnp.sum(q * (xw[None] - jnp.asarray(pose[:2], dt)), axis=-1)  # [G, N]
+    e33 = jnp.zeros((3, 3), dt).at[2, 2].set(1.0)
+    h_pt = (jlj + hpp[..., None, None] * e33
+            - d2 * a[..., :, None] * a[..., None, :])
+    h = d2 * jnp.einsum("gn,gnkl->kl", w, h_pt)
+
+    f = -jnp.sum(w)
+    denom = jnp.maximum(jnp.sum(w0), 1.0)
+    return f, g, h, jnp.sum(w) / denom
+
+
+def solve3(a, b):
+    """Closed-form 3x3 linear solve (Cramer's rule).
+
+    XLA's general ``linalg.solve`` lowers to an LU-decomposition expansion
+    that is both slow for tiny systems and unimplemented for f64 on TPU;
+    Cramer is branch-free, batched, and exact to rounding for 3x3.
+    a: ``[..., 3, 3]``, b: ``[..., 3]``.
+    """
+    c00 = a[..., 1, 1] * a[..., 2, 2] - a[..., 1, 2] * a[..., 2, 1]
+    c01 = a[..., 1, 2] * a[..., 2, 0] - a[..., 1, 0] * a[..., 2, 2]
+    c02 = a[..., 1, 0] * a[..., 2, 1] - a[..., 1, 1] * a[..., 2, 0]
+    det = (a[..., 0, 0] * c00 + a[..., 0, 1] * c01 + a[..., 0, 2] * c02)
+    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    c10 = a[..., 0, 2] * a[..., 2, 1] - a[..., 0, 1] * a[..., 2, 2]
+    c11 = a[..., 0, 0] * a[..., 2, 2] - a[..., 0, 2] * a[..., 2, 0]
+    c12 = a[..., 0, 1] * a[..., 2, 0] - a[..., 0, 0] * a[..., 2, 1]
+    c20 = a[..., 0, 1] * a[..., 1, 2] - a[..., 0, 2] * a[..., 1, 1]
+    c21 = a[..., 0, 2] * a[..., 1, 0] - a[..., 0, 0] * a[..., 1, 2]
+    c22 = a[..., 0, 0] * a[..., 1, 1] - a[..., 0, 1] * a[..., 1, 0]
+    # inv(a) = adj(a)^T / det; rows of the cofactor matrix are c{i}*.
+    x0 = (c00 * b[..., 0] + c10 * b[..., 1] + c20 * b[..., 2]) / det
+    x1 = (c01 * b[..., 0] + c11 * b[..., 1] + c21 * b[..., 2]) / det
+    x2 = (c02 * b[..., 0] + c12 * b[..., 1] + c22 * b[..., 2]) / det
+    return jnp.stack([x0, x1, x2], axis=-1)
+
+
+def _solve_damped(h, g, lam, dt):
+    """LM step: solve ``(H + lam * D) delta = -g`` with ``D = |diag(H)|``.
+
+    ``|diag|`` (not clipped diag) matters: away from the optimum the NDT
+    Hessian is indefinite with *negative* diagonal entries, and only a
+    positive damping matrix guarantees the damped system goes positive
+    definite as lam grows (large lam then recovers scaled gradient descent).
+    """
+    diag = jnp.maximum(jnp.abs(jnp.diagonal(h)), 1e-6)
+    a = h + lam * jnp.diag(diag)
+    return solve3(a, -g)
+
+
+def match(points, mask, ndt_map: NDTMap, init_pose, grid: GridConfig,
+          cfg: MatchConfig) -> MatchResult:
+    """Register one scan against the map starting from ``init_pose`` ``[3]``.
+
+    The LM loop runs as a ``lax.while_loop``; each iteration performs exactly
+    one score/grad/Hessian evaluation (at the trial point) and accepts or
+    rejects the step by comparing objectives. ``vmap`` freely for batching —
+    see :func:`match_batch`.
+    """
+    dt = points.dtype
+    init_pose = init_pose.astype(dt)
+
+    def sgh(pose):
+        return score_grad_hess(pose, points, mask, ndt_map, grid, cfg)
+
+    f0, g0, h0, s0 = sgh(init_pose)
+
+    def cond(carry):
+        pose, f, g, h, score, lam, it, done, conv = carry
+        return (it < cfg.max_iter) & jnp.logical_not(done)
+
+    def body(carry):
+        pose, f, g, h, score, lam, it, done, conv = carry
+        delta = _solve_damped(h, g, lam, dt)
+        # Clip runaway translation steps (reference 'step control').
+        tn = jnp.sqrt(delta[0] ** 2 + delta[1] ** 2)
+        scale = jnp.where(tn > cfg.step_clip, cfg.step_clip / tn, 1.0)
+        delta = delta * scale
+        pose_try = pose + delta
+        f2, g2, h2, s2 = sgh(pose_try)
+        accept = f2 < f
+        pose_n = jnp.where(accept, pose_try, pose)
+        f_n = jnp.where(accept, f2, f)
+        g_n = jnp.where(accept, g2, g)
+        h_n = jnp.where(accept, h2, h)
+        s_n = jnp.where(accept, s2, score)
+        lam_n = jnp.where(
+            accept,
+            jnp.maximum(lam / cfg.lambda_down, 1e-9),
+            lam * cfg.lambda_up,
+        )
+        # A sub-tolerance *proposed* step means the damped model sees no
+        # useful motion left — the numerical optimum at this damping level.
+        small = jnp.sqrt(jnp.sum(delta * delta)) < cfg.tol
+        stuck = lam_n > cfg.max_lambda
+        done_n = small | stuck
+        return pose_n, f_n, g_n, h_n, s_n, lam_n, it + 1, done_n, small
+
+    lam0 = jnp.asarray(cfg.init_lambda, dt)
+    zero_grad = jnp.sum(jnp.abs(g0)) == 0.0  # no valid cells: nothing to do
+    false = jnp.asarray(False)
+    carry = (init_pose, f0, g0, h0, s0, lam0, jnp.asarray(0, jnp.int32),
+             zero_grad, false)
+    pose, f, g, h, score, lam, it, done, conv = jax.lax.while_loop(
+        cond, body, carry)
+    converged = conv & (f < 0.0)  # f < 0 iff some points matched valid cells
+    return MatchResult(pose=pose, hessian=h, score=score, n_iter=it,
+                       converged=converged)
+
+
+def match_batch(points, mask, ndt_map: NDTMap, init_poses, grid: GridConfig,
+                cfg: MatchConfig) -> MatchResult:
+    """B concurrent registrations against one shared map.
+
+    points ``[B, N, 2]``, mask ``[B, N]``, init_poses ``[B, 3]``. This is the
+    batched path used for loop-closure candidates and throughput benchmarks
+    (SURVEY.md §4.2 'batching over B concurrent registrations').
+    """
+    return jax.vmap(match, in_axes=(0, 0, None, 0, None, None))(
+        points, mask, ndt_map, init_poses, grid, cfg
+    )

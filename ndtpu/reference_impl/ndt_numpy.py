@@ -1,0 +1,155 @@
+"""Single-thread NumPy NDT implementation — oracle and baseline proxy.
+
+Two roles (SURVEY.md §5, §7):
+
+1. **Correctness oracle**: a straightforward per-point, per-cell loopy
+   implementation of NDT map building and registration, written the way the
+   reference's single-thread C++ does it (SURVEY.md §4.2/§4.4 pseudocode).
+   Tests compare the TPU tensor programs against this to f64 precision.
+2. **Baseline proxy**: the reference binary cannot be built (empty checkout,
+   SURVEY.md §0) and it publishes no numbers (BASELINE.md). The measurable
+   stand-in for "single-thread C++ baseline" is this implementation's
+   scans/s, measured on the same workload as the TPU path. NumPy-on-one-core
+   is within a small factor of naive C++ for this access pattern (the inner
+   math is vectorized per scan exactly like Eigen would); BENCH results
+   record it as ``vs_baseline`` with this caveat documented.
+
+Intentionally independent code: no imports from the JAX modules.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["NumpyNDTMap", "build_map", "match"]
+
+
+class NumpyNDTMap:
+    def __init__(self, x0, y0, cell, nx, ny, overlap=4, min_pts=3,
+                 eig_ratio=1e-3, eig_abs_min=1e-4):
+        self.x0, self.y0, self.cell = x0, y0, cell
+        self.nx, self.ny, self.overlap = nx, ny, overlap
+        self.min_pts, self.eig_ratio, self.eig_abs_min = (
+            min_pts, eig_ratio, eig_abs_min)
+        h = cell / 2.0
+        self.offsets = [(0.0, 0.0)] if overlap == 1 else [
+            (0.0, 0.0), (h, 0.0), (0.0, h), (h, h)]
+        c = nx * ny
+        g = len(self.offsets)
+        self.n = np.zeros((g, c))
+        self.s = np.zeros((g, c, 2))
+        self.ss = np.zeros((g, c, 2, 2))
+        self.mean = np.zeros((g, c, 2))
+        self.icov = np.zeros((g, c, 2, 2))
+        self.valid = np.zeros((g, c), bool)
+
+    def cell_index(self, pt, g):
+        ox, oy = self.offsets[g]
+        ix = int(np.floor((pt[0] - self.x0 - ox) / self.cell))
+        iy = int(np.floor((pt[1] - self.y0 - oy) / self.cell))
+        if 0 <= ix < self.nx and 0 <= iy < self.ny:
+            return iy * self.nx + ix
+        return -1
+
+    def add_points(self, points, mask):
+        for p, m in zip(points, mask):      # the reference-style point loop
+            if not m:
+                continue
+            for g in range(len(self.offsets)):
+                c = self.cell_index(p, g)
+                if c < 0:
+                    continue
+                self.n[g, c] += 1.0
+                self.s[g, c] += p
+                self.ss[g, c] += np.outer(p, p)
+
+    def finalize(self):
+        for g in range(len(self.offsets)):
+            for c in range(self.nx * self.ny):
+                if self.n[g, c] < self.min_pts:
+                    self.valid[g, c] = False
+                    continue
+                n = self.n[g, c]
+                mu = self.s[g, c] / n
+                cov = self.ss[g, c] / n - np.outer(mu, mu)
+                w, v = np.linalg.eigh(cov)
+                lmax = max(w[1], self.eig_abs_min)
+                lmin = max(w[0], max(self.eig_ratio * lmax, self.eig_abs_min))
+                cov_r = (v @ np.diag([lmin, lmax]) @ v.T)
+                self.mean[g, c] = mu
+                self.icov[g, c] = np.linalg.inv(cov_r)
+                self.valid[g, c] = True
+
+
+def build_map(points, mask, x0, y0, cell, nx, ny, overlap=4, **kw):
+    m = NumpyNDTMap(x0, y0, cell, nx, ny, overlap, **kw)
+    m.add_points(np.asarray(points, float), np.asarray(mask, bool))
+    m.finalize()
+    return m
+
+
+def _score_grad_hess(pose, points, mask, m: NumpyNDTMap, d2=0.5,
+                     exp_clip=40.0):
+    c, s = np.cos(pose[2]), np.sin(pose[2])
+    r = np.array([[c, -s], [s, c]])
+    f, g, h = 0.0, np.zeros(3), np.zeros((3, 3))
+    wsum, w0sum = 0.0, 0.0
+    for p, valid in zip(points, mask):       # reference-style per-point loop
+        if not valid:
+            continue
+        xw = r @ p + pose[:2]
+        dxdphi = np.array([-s * p[0] - c * p[1], c * p[0] - s * p[1]])
+        for gi in range(len(m.offsets)):
+            ci = m.cell_index(xw, gi)
+            if ci < 0 or not m.valid[gi, ci]:
+                continue
+            w0sum += 1.0
+            d = xw - m.mean[gi, ci]
+            lam = m.icov[gi, ci]
+            q = lam @ d
+            l2 = float(d @ q)
+            w = np.exp(-0.5 * d2 * min(max(l2, 0.0), exp_clip))
+            jac = np.zeros((2, 3))
+            jac[:, 0] = [1, 0]
+            jac[:, 1] = [0, 1]
+            jac[:, 2] = dxdphi
+            a = jac.T @ q
+            f -= w
+            wsum += w
+            g += d2 * w * a
+            hpp = -(q @ (xw - pose[:2]))
+            e33 = np.zeros((3, 3))
+            e33[2, 2] = hpp
+            h += d2 * w * (jac.T @ lam @ jac + e33 - d2 * np.outer(a, a))
+    score = wsum / max(w0sum, 1.0)
+    return f, g, h, score
+
+
+def match(points, mask, m: NumpyNDTMap, init_pose, max_iter=30, tol=1e-4,
+          init_lambda=1e-3, lambda_up=10.0, lambda_down=3.0, max_lambda=1e6,
+          step_clip=2.0, d2=0.5):
+    """Levenberg-Marquardt NDT registration, mirroring ndtpu.ndt.match."""
+    pose = np.asarray(init_pose, float).copy()
+    f, g, h, score = _score_grad_hess(pose, points, mask, m, d2)
+    lam = init_lambda
+    it, converged = 0, False
+    done = np.sum(np.abs(g)) == 0.0
+    while it < max_iter and not done:
+        diag = np.maximum(np.abs(np.diag(h)), 1e-6)
+        aa = h + lam * np.diag(diag)
+        delta = np.linalg.solve(aa, -g)
+        tn = np.hypot(delta[0], delta[1])
+        if tn > step_clip:
+            delta *= step_clip / tn
+        f2, g2, h2, s2 = _score_grad_hess(pose + delta, points, mask, m, d2)
+        if f2 < f:
+            pose, f, g, h, score = pose + delta, f2, g2, h2, s2
+            lam = max(lam / lambda_down, 1e-9)
+        else:
+            lam *= lambda_up
+        small = np.linalg.norm(delta) < tol
+        done = small or lam > max_lambda
+        converged = small
+        it += 1
+    converged = converged and f < 0.0
+    return pose, h, score, it, converged

@@ -1,0 +1,32 @@
+"""Test harness setup (SURVEY.md §5).
+
+Tests run on CPU with 8 virtual devices (the standard JAX trick for testing
+pjit/shard_map logic without a pod) and with x64 enabled so f64 oracles are
+exact. Library code is dtype-explicit, so enabling x64 here does not change
+the f32 fast paths under test.
+
+Note: this machine's axon sitecustomize registers the TPU backend and forces
+``jax_platforms='axon,cpu'`` at interpreter startup — before any conftest
+runs — so setting JAX_PLATFORMS here is too late. We instead flip the
+config and clear the already-initialized backends.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+try:
+    from jax.extend.backend import clear_backends
+    clear_backends()
+except Exception:
+    pass
+
+assert jax.devices()[0].platform == "cpu", jax.devices()
+assert len(jax.devices()) == 8, jax.devices()

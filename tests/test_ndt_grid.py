@@ -1,0 +1,88 @@
+"""NDT map construction vs the single-thread NumPy oracle (SURVEY.md §5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ndtpu.config import GridConfig, NDTMapConfig
+from ndtpu.ndt import grid as g
+from ndtpu.reference_impl import ndt_numpy
+
+GRID = GridConfig(x0=-8.0, y0=-8.0, cell=1.0, nx=16, ny=16, overlap=4)
+CFG = NDTMapConfig()
+
+
+def make_points(n=500, seed=0):
+    key = jax.random.PRNGKey(seed)
+    pts = jax.random.uniform(key, (n, 2), jnp.float64, -9.0, 9.0)
+    mask = jax.random.uniform(jax.random.PRNGKey(seed + 1), (n,)) > 0.1
+    return pts, mask
+
+
+def test_stats_match_oracle():
+    pts, mask = make_points()
+    stats = g.build_stats(pts, mask, GRID)
+    om = ndt_numpy.NumpyNDTMap(GRID.x0, GRID.y0, GRID.cell, GRID.nx, GRID.ny,
+                               GRID.overlap)
+    om.add_points(np.asarray(pts), np.asarray(mask))
+    np.testing.assert_allclose(np.asarray(stats.n), om.n, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(stats.s), om.s, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(stats.ss), om.ss, atol=1e-9)
+
+
+def test_finalize_matches_oracle():
+    pts, mask = make_points(800, seed=3)
+    stats = g.build_stats(pts, mask, GRID)
+    m = g.finalize(stats, CFG)
+    om = ndt_numpy.build_map(np.asarray(pts), np.asarray(mask), GRID.x0,
+                             GRID.y0, GRID.cell, GRID.nx, GRID.ny,
+                             GRID.overlap, min_pts=CFG.min_pts,
+                             eig_ratio=CFG.eig_ratio,
+                             eig_abs_min=CFG.eig_abs_min)
+    np.testing.assert_allclose(np.asarray(m.valid), om.valid.astype(float),
+                               atol=0)
+    sel = om.valid
+    np.testing.assert_allclose(np.asarray(m.mean)[sel], om.mean[sel],
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(m.icov)[sel], om.icov[sel],
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_incremental_equals_batch():
+    pts, mask = make_points(600, seed=5)
+    s_batch = g.build_stats(pts, mask, GRID)
+    s_inc = g.empty_stats(GRID, jnp.float64)
+    for i in range(0, 600, 100):
+        s_inc = g.add_points(s_inc, pts[i:i + 100], mask[i:i + 100], GRID)
+    for a, b in zip(s_batch, s_inc):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
+
+
+def test_out_of_bounds_points_ignored():
+    pts = jnp.asarray([[100.0, 100.0], [-50.0, 0.0], [0.5, 0.5]], jnp.float64)
+    mask = jnp.ones(3, bool)
+    stats = g.build_stats(pts, mask, GRID)
+    assert float(jnp.sum(stats.n)) == GRID.overlap  # only the in-bounds point
+
+
+def test_lookup_gathers_correct_cells():
+    pts, mask = make_points(400, seed=9)
+    stats = g.build_stats(pts, mask, GRID)
+    m = g.finalize(stats, CFG)
+    om = ndt_numpy.build_map(np.asarray(pts), np.asarray(mask), GRID.x0,
+                             GRID.y0, GRID.cell, GRID.nx, GRID.ny,
+                             GRID.overlap)
+    q = jnp.asarray([[0.3, 0.4], [-3.2, 5.1], [7.9, -7.9], [50.0, 0.0]],
+                    jnp.float64)
+    mean, icov, w = g.lookup(m, q, GRID)
+    for gi in range(GRID.overlap):
+        for pi, p in enumerate(np.asarray(q)):
+            ci = om.cell_index(p, gi)
+            if ci < 0:
+                assert w[gi, pi] == 0.0
+            elif om.valid[gi, ci]:
+                assert w[gi, pi] == 1.0
+                np.testing.assert_allclose(np.asarray(mean)[gi, pi],
+                                           om.mean[gi, ci], atol=1e-9)
+            else:
+                assert w[gi, pi] == 0.0
