@@ -30,6 +30,7 @@ from ndtpu.lie import se2
 __all__ = [
     "PoseGraph",
     "empty_graph",
+    "add_pose",
     "add_prior",
     "add_between",
     "prior_error",
@@ -93,10 +94,26 @@ def _masked_set(arr, slot, value, ok):
     return arr.at[slot].set(jnp.where(ok, value, arr[slot]))
 
 
-def add_prior(g: PoseGraph, idx, z, sqrt_info) -> PoseGraph:
+def add_pose(g: PoseGraph, pose, enabled=True) -> PoseGraph:
+    """Masked append of a new pose variable; returns the updated graph.
+
+    The new pose's index is the pre-append ``g.n_poses`` (callers capture it
+    before calling). ``enabled`` may be traced (conditional append in jit).
+    """
+    enabled = jnp.asarray(enabled)
+    slot = jnp.minimum(g.n_poses, g.capacity - 1)
+    ok = enabled & (g.n_poses < g.capacity)
+    return g._replace(
+        poses=_masked_set(g.poses, slot, pose, ok),
+        pose_mask=g.pose_mask.at[slot].set(ok | g.pose_mask[slot]),
+        n_poses=g.n_poses + ok.astype(jnp.int32),
+    )
+
+
+def add_prior(g: PoseGraph, idx, z, sqrt_info, enabled=True) -> PoseGraph:
     """Masked append of a prior factor (jit-safe; overflows are dropped)."""
     slot = jnp.minimum(g.n_priors, g.prior_mask.shape[0] - 1)
-    ok = g.n_priors < g.prior_mask.shape[0]
+    ok = jnp.asarray(enabled) & (g.n_priors < g.prior_mask.shape[0])
     return g._replace(
         prior_idx=_masked_set(g.prior_idx, slot, jnp.asarray(idx, jnp.int32), ok),
         prior_z=_masked_set(g.prior_z, slot, z, ok),
@@ -106,10 +123,10 @@ def add_prior(g: PoseGraph, idx, z, sqrt_info) -> PoseGraph:
     )
 
 
-def add_between(g: PoseGraph, i, j, z, sqrt_info) -> PoseGraph:
+def add_between(g: PoseGraph, i, j, z, sqrt_info, enabled=True) -> PoseGraph:
     """Masked append of a between factor."""
     slot = jnp.minimum(g.n_between, g.bet_mask.shape[0] - 1)
-    ok = g.n_between < g.bet_mask.shape[0]
+    ok = jnp.asarray(enabled) & (g.n_between < g.bet_mask.shape[0])
     return g._replace(
         bet_i=_masked_set(g.bet_i, slot, jnp.asarray(i, jnp.int32), ok),
         bet_j=_masked_set(g.bet_j, slot, jnp.asarray(j, jnp.int32), ok),

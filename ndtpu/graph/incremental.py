@@ -1,0 +1,144 @@
+"""Incremental pose-graph smoothing: the iSAM2-capability re-engineering.
+
+Capability parity (SURVEY.md §3.2 "iSAM2 incremental smoother", §4.3): after
+each new keyframe the backend must refine the trajectory at bounded cost —
+GTSAM does this with a Bayes tree (mark affected cliques, selective
+relinearization, partial re-elimination). A pointer-based Bayes tree is the
+wrong shape for a TPU, so the *capability* is re-engineered (SURVEY.md §8
+Phase C, explicitly "not a port"):
+
+- **Warm start replaces partial re-elimination.** The current estimate is
+  the linearization point; right after a new keyframe only a small
+  neighborhood of the graph is far from its optimum, so the damped-GN
+  residual is tiny and block-Jacobi PCG reaches its *relative* tolerance in
+  a handful of matvecs. Cost per update is O(nnz * pcg_iters) with
+  pcg_iters small and data-adaptive — the bounded-cost property iSAM2 gets
+  from clique marking, obtained instead from Krylov convergence.
+- **Relinearization is batched, and skipped when useless.** Relinearizing
+  *all* factors is one vmap (cheap on TPU); the iSAM2 relinearization
+  *threshold* survives as a skip test — if the last accepted step moved no
+  pose by more than ``relin_threshold``, the estimate is declared settled
+  and the update does zero solves (``lax.cond`` fast path).
+- **Periodic full solve replaces periodic batch relinearization**
+  (``ISAM2Params.enableRelinearization`` cadence): every
+  ``full_solve_every`` updates a full LM optimization with a larger
+  iteration budget squeezes out accumulated nonlinearity.
+
+The whole update is one jittable function of static config — usable inside
+scan loops and shardable (factor/pose axes) with NamedSharding.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ndtpu.config import SolverConfig
+from ndtpu.graph import factors as fct
+from ndtpu.graph import solve as slv
+from ndtpu.lie import se2
+
+__all__ = ["SmootherState", "init_smoother", "incremental_update",
+           "full_solve", "marginal_covariance"]
+
+
+class SmootherState(NamedTuple):
+    graph: fct.PoseGraph
+    lam: jax.Array          # [] LM damping carried across updates
+    last_max_delta: jax.Array  # [] inf-norm of the last accepted step
+    step: jax.Array         # [] int32 update counter
+
+
+def init_smoother(graph: fct.PoseGraph) -> SmootherState:
+    dt = graph.poses.dtype
+    return SmootherState(
+        graph=graph,
+        lam=jnp.asarray(1e-4, dt),
+        last_max_delta=jnp.asarray(jnp.inf, dt),
+        step=jnp.asarray(0, jnp.int32),
+    )
+
+
+def _one_lm_step(graph, lam, chi, cfg: SolverConfig, huber_delta: float):
+    """One accept/reject LM iteration with a PCG inner solve."""
+    lin = fct.linearize(graph, huber_delta)
+    delta, _ = slv.pcg(graph, lin, lam, cfg)
+    new_poses = slv._apply_delta(graph.poses, delta, graph.pose_mask)
+    trial = graph._replace(poses=new_poses)
+    chi_t = fct.chi2(trial, huber_delta)
+    accept = chi_t < chi
+    graph_n = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(accept, a, b), trial, graph)
+    chi_n = jnp.where(accept, chi_t, chi)
+    lam_n = jnp.where(accept, jnp.maximum(lam / cfg.lambda_down, 1e-12),
+                      lam * cfg.lambda_up)
+    max_delta = jnp.where(accept, jnp.max(jnp.abs(delta)),
+                          jnp.zeros_like(chi))
+    return graph_n, chi_n, lam_n, max_delta
+
+
+def incremental_update(state: SmootherState, cfg: SolverConfig,
+                       huber_delta: float = 0.0) -> SmootherState:
+    """Bounded-cost refinement after new factors were appended to
+    ``state.graph`` (the ``ISAM2::update`` role, SURVEY.md §4.3).
+
+    Runs ``cfg.inc_iters`` warm-started LM-PCG iterations — unless the
+    previous update already moved nothing beyond ``cfg.relin_threshold``
+    AND no new factor has meaningful residual (then it is a no-op).
+    """
+    g = state.graph
+    dt = g.poses.dtype
+
+    def do_update(g, lam):
+        chi = fct.chi2(g, huber_delta)
+        def body(_, carry):
+            graph, chi, lam, md = carry
+            graph, chi, lam, md_i = _one_lm_step(graph, lam, chi, cfg,
+                                                 huber_delta)
+            return graph, chi, lam, jnp.maximum(md, md_i)
+        graph, chi, lam, md = jax.lax.fori_loop(
+            0, cfg.inc_iters, body,
+            (g, chi, lam, jnp.asarray(0.0, dt)))
+        return graph, lam, md
+
+    def skip(g, lam):
+        return g, lam, jnp.asarray(0.0, dt)
+
+    # Settled-estimate fast path: nothing moved last time -> check whether
+    # the *newest* factors actually perturb the solution before solving.
+    settled = state.last_max_delta < cfg.relin_threshold
+    grad = slv.gradient(g, fct.linearize(g, huber_delta))
+    grad_small = jnp.max(jnp.abs(grad)) < cfg.relin_threshold
+    graph, lam, md = jax.lax.cond(settled & grad_small, skip, do_update,
+                                  g, state.lam)
+    return SmootherState(graph=graph, lam=lam, last_max_delta=md,
+                         step=state.step + 1)
+
+
+def full_solve(state: SmootherState, cfg: SolverConfig,
+               method: str = "pcg", huber_delta: float = 0.0) -> SmootherState:
+    """Periodic full batched optimization (the cadence knob
+    ``cfg.full_solve_every`` is applied by the caller)."""
+    res = slv.optimize(state.graph, cfg, method=method,
+                       huber_delta=huber_delta)
+    dt = state.graph.poses.dtype
+    return SmootherState(graph=res.graph, lam=jnp.asarray(cfg.init_lambda, dt),
+                         last_max_delta=jnp.asarray(jnp.inf, dt),
+                         step=state.step)
+
+
+def marginal_covariance(graph: fct.PoseGraph, idx,
+                        huber_delta: float = 0.0):
+    """3x3 marginal covariance of pose ``idx`` (GTSAM ``Marginals``
+    capability): the corresponding diagonal block of H^{-1} via the dense
+    factorization path. Suitable for small/medium graphs; large graphs
+    should use PCG solves against unit vectors instead."""
+    lin = fct.linearize(graph, huber_delta)
+    h, _ = slv.normal_equations(graph, lin)
+    live = jnp.repeat(graph.pose_mask.astype(h.dtype), 3)
+    h = h + jnp.diag(1e-8 + (1.0 - live))
+    cov = jnp.linalg.inv(h)
+    i0 = 3 * idx
+    return jax.lax.dynamic_slice(cov, (i0, i0), (3, 3))

@@ -1,0 +1,59 @@
+"""Full SLAM pipeline integration: loop closure must fire and improve the
+trajectory on a synthetic looping sequence (SURVEY.md §5 item 3)."""
+
+import jax.numpy as jnp
+import pytest
+
+from ndtpu.config import (GridConfig, KeyframeConfig, LoopConfig, MatchConfig,
+                          NDTMapConfig, PipelineConfig, SolverConfig)
+from ndtpu.data import synth
+from ndtpu.eval.ate import ate_rmse
+from ndtpu.slam import pipeline
+from ndtpu.slam.odometry import run_odometry
+
+
+def _cfg(use_loops: bool) -> PipelineConfig:
+    return PipelineConfig(
+        grid=GridConfig(x0=-12.0, y0=-12.0, cell=1.0, nx=24, ny=24, overlap=4),
+        ndt=NDTMapConfig(),
+        match=MatchConfig(),
+        keyframe=KeyframeConfig(dist_thresh=0.6, angle_thresh=0.3,
+                                capacity=128),
+        loop=LoopConfig(radius=3.0, min_index_gap=8, max_candidates=4,
+                        score_gate=0.30, local_half_extent=8.0,
+                        local_cell=1.0),
+        solver=SolverConfig(inc_iters=2, pcg_max_iter=60),
+        use_loop_closure=use_loops,
+    )
+
+
+@pytest.fixture(scope="module")
+def loop_sequence():
+    world = synth.box_world(half=9.0)
+    traj = synth.rectangle_trajectory(135, half=6.0, step=0.2)
+    return synth.make_sequence(world, traj, n_beams=180, max_range=15.0,
+                               min_range=0.1, seed=3, range_noise=0.01,
+                               odom_trans_std=0.05, odom_rot_std=0.01)
+
+
+def test_pipeline_closes_loops_and_beats_odometry(loop_sequence):
+    seq = loop_sequence
+    cfg = _cfg(True)
+    state, outs = pipeline.run_slam(seq.points, seq.mask, seq.odom, cfg)
+    assert int(state.n_loops) > 0, "no loop closures fired on a loop sequence"
+    traj = pipeline.recover_trajectory(state, outs)
+    ate_slam = float(ate_rmse(traj, seq.gt_poses))
+    assert ate_slam < 0.25, ate_slam
+    # Per-scan estimates must be finite and keyframes spawned.
+    assert int(jnp.sum(outs.is_keyframe)) > 10
+    assert not bool(jnp.any(jnp.isnan(traj)))
+
+
+def test_pipeline_no_loops_matches_odometry_mode(loop_sequence):
+    seq = loop_sequence
+    cfg = _cfg(False)
+    state, outs = pipeline.run_slam(seq.points, seq.mask, seq.odom, cfg)
+    assert int(state.n_loops) == 0
+    traj = pipeline.recover_trajectory(state, outs)
+    ate = float(ate_rmse(traj, seq.gt_poses))
+    assert ate < 0.6, ate  # pure odometry should still track reasonably
