@@ -1,0 +1,16 @@
+from ndtpu.dist.mesh import (batch_mesh, grid_mesh, multihost_mesh,
+                             space_mesh)
+from ndtpu.dist.registration import match_batch_sharded
+from ndtpu.dist.gridmap import (SlabMap, SlabStats, build_slab_stats,
+                                build_slab_stats_psharded, finalize_slab,
+                                match_slab)
+from ndtpu.dist.schur import (SchurPlan, optimize_schur, plan_partition,
+                              schur_delta)
+
+__all__ = [
+    "batch_mesh", "grid_mesh", "multihost_mesh", "space_mesh",
+    "match_batch_sharded",
+    "SlabMap", "SlabStats", "build_slab_stats", "build_slab_stats_psharded",
+    "finalize_slab", "match_slab",
+    "SchurPlan", "optimize_schur", "plan_partition", "schur_delta",
+]

@@ -1,0 +1,311 @@
+"""Distributed pose-graph solve: Schur-complement reduction over separators.
+
+Capability (SURVEY.md §3.3 "Distributed solve", BASELINE config 5): the
+pose-graph normal equations are partitioned into per-shard interiors plus a
+shared separator set; each device/host eliminates its interior poses with a
+dense local Cholesky, the small separator system is combined with one
+``psum`` (ICI/DCN collective — the only cross-shard communication), solved
+replicated, and back-substituted locally.
+
+Why this decomposition is sound: a pose incident to any cross-shard factor
+is classified as a separator, so every factor touches only (one shard's
+interior) ∪ (separator) — each factor is assigned to exactly one shard and
+the global Hessian splits as H = Σ_s H^s with block structure
+``[H_II^s, H_IS^s; H_SI^s, H_SS^s]``. Eliminating interiors shard-locally
+gives the exact global Schur complement ``S = Σ_s (H_SS^s − H_IS^sᵀ
+H_II^{s,-1} H_IS^s)`` — no approximation.
+
+Symbolic work (partitioning, slot assignment) happens once per graph
+topology on the host in numpy (SURVEY.md §8 design stance: "symbolic/
+irregular work on host"); the numeric step is one shard_map program.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ndtpu.config import SolverConfig
+from ndtpu.graph import factors as fct
+from ndtpu.graph import solve as slv
+from ndtpu.lie import se2
+
+__all__ = ["SchurPlan", "plan_partition", "schur_delta", "optimize_schur"]
+
+INTERIOR, SEPARATOR = 0, 1
+
+
+class SchurPlan(NamedTuple):
+    """Host-built static partition plan (numpy; hashable via id for jit)."""
+
+    n_shards: int
+    ni: int               # padded interior slots per shard
+    ns: int               # total separator count (padded to >=1)
+    fmax: int             # padded factors per shard
+    pmax: int             # padded priors per shard
+    # factor assignment [S, Fmax]:
+    fac_idx: np.ndarray   # index into the global between-factor arrays
+    fac_mask: np.ndarray  # bool
+    i_role: np.ndarray    # INTERIOR/SEPARATOR of endpoint i
+    i_loc: np.ndarray     # local slot (interior) or separator slot of i
+    j_role: np.ndarray
+    j_loc: np.ndarray
+    # prior assignment [S, Pmax]:
+    pri_idx: np.ndarray
+    pri_mask: np.ndarray
+    p_role: np.ndarray
+    p_loc: np.ndarray
+    # variable maps:
+    int_global: np.ndarray  # [S, NI] global pose index per interior slot
+    int_mask: np.ndarray    # [S, NI]
+    sep_global: np.ndarray  # [NS]
+    sep_mask: np.ndarray    # [NS]
+
+
+def plan_partition(bet_i: np.ndarray, bet_j: np.ndarray, bet_mask: np.ndarray,
+                   pri_idx: np.ndarray, pri_mask: np.ndarray,
+                   n_poses: int, n_shards: int) -> SchurPlan:
+    """Contiguous-range partition of poses 0..n_poses-1 into ``n_shards``.
+
+    Contiguity matches SLAM trajectories (consecutive keyframes co-locate),
+    so only revisit/loop edges cross shards — small separators.
+    """
+    bet_i = np.asarray(bet_i)
+    bet_j = np.asarray(bet_j)
+    bet_mask = np.asarray(bet_mask)
+    pri_idx = np.asarray(pri_idx)
+    pri_mask = np.asarray(pri_mask)
+
+    shard_of = np.minimum(
+        np.arange(n_poses) * n_shards // max(n_poses, 1), n_shards - 1)
+
+    live = bet_mask
+    cross = live & (shard_of[bet_i] != shard_of[bet_j])
+    is_sep = np.zeros(n_poses, bool)
+    is_sep[bet_i[cross]] = True
+    is_sep[bet_j[cross]] = True
+
+    sep_global = np.nonzero(is_sep)[0]
+    ns = max(len(sep_global), 1)
+    sep_slot = np.full(n_poses, -1, np.int64)
+    sep_slot[sep_global] = np.arange(len(sep_global))
+
+    interiors = [np.nonzero((shard_of == s) & ~is_sep)[0]
+                 for s in range(n_shards)]
+    ni = max(1, max(len(x) for x in interiors))
+    int_global = np.zeros((n_shards, ni), np.int32)
+    int_mask = np.zeros((n_shards, ni), bool)
+    int_slot = np.full(n_poses, -1, np.int64)
+    for s, ids in enumerate(interiors):
+        int_global[s, : len(ids)] = ids
+        int_mask[s, : len(ids)] = True
+        int_slot[ids] = np.arange(len(ids))
+
+    # Assign each live factor to the shard of endpoint i.
+    fac_shard = shard_of[bet_i]
+    per_shard = [np.nonzero(live & (fac_shard == s))[0]
+                 for s in range(n_shards)]
+    fmax = max(1, max(len(x) for x in per_shard))
+
+    def role_loc(pose_ids):
+        role = np.where(is_sep[pose_ids], SEPARATOR, INTERIOR)
+        loc = np.where(is_sep[pose_ids], sep_slot[pose_ids],
+                       int_slot[pose_ids])
+        return role.astype(np.int32), np.maximum(loc, 0).astype(np.int32)
+
+    fac_idx = np.zeros((n_shards, fmax), np.int32)
+    fac_mask_a = np.zeros((n_shards, fmax), bool)
+    i_role = np.zeros((n_shards, fmax), np.int32)
+    i_loc = np.zeros((n_shards, fmax), np.int32)
+    j_role = np.zeros((n_shards, fmax), np.int32)
+    j_loc = np.zeros((n_shards, fmax), np.int32)
+    for s, ids in enumerate(per_shard):
+        k = len(ids)
+        fac_idx[s, :k] = ids
+        fac_mask_a[s, :k] = True
+        i_role[s, :k], i_loc[s, :k] = role_loc(bet_i[ids])
+        j_role[s, :k], j_loc[s, :k] = role_loc(bet_j[ids])
+
+    pri_shard = shard_of[np.clip(pri_idx, 0, n_poses - 1)]
+    per_shard_p = [np.nonzero(pri_mask & (pri_shard == s))[0]
+                   for s in range(n_shards)]
+    pmax = max(1, max(len(x) for x in per_shard_p))
+    pri_idx_a = np.zeros((n_shards, pmax), np.int32)
+    pri_mask_a = np.zeros((n_shards, pmax), bool)
+    p_role = np.zeros((n_shards, pmax), np.int32)
+    p_loc = np.zeros((n_shards, pmax), np.int32)
+    for s, ids in enumerate(per_shard_p):
+        k = len(ids)
+        pri_idx_a[s, :k] = ids
+        pri_mask_a[s, :k] = True
+        p_role[s, :k], p_loc[s, :k] = role_loc(pri_idx[ids])
+
+    sep_mask = np.zeros(ns, bool)
+    sep_mask[: len(sep_global)] = True
+    sep_global_pad = np.zeros(ns, np.int32)
+    sep_global_pad[: len(sep_global)] = sep_global
+
+    return SchurPlan(
+        n_shards=n_shards, ni=ni, ns=ns, fmax=fmax, pmax=pmax,
+        fac_idx=fac_idx, fac_mask=fac_mask_a,
+        i_role=i_role, i_loc=i_loc, j_role=j_role, j_loc=j_loc,
+        pri_idx=pri_idx_a, pri_mask=pri_mask_a, p_role=p_role, p_loc=p_loc,
+        int_global=int_global, int_mask=int_mask,
+        sep_global=sep_global_pad, sep_mask=sep_mask,
+    )
+
+
+def _assemble_local(plan: SchurPlan, ai, aj, r, ap, rp, s_fac_idx, s_fac_mask,
+                    s_i_role, s_i_loc, s_j_role, s_j_loc,
+                    s_pri_idx, s_pri_mask, s_p_role, s_p_loc, dt):
+    """One shard's H/b over its local variable space [NI interior | NS sep].
+
+    Column index of endpoint with (role, loc): interior -> loc, separator ->
+    NI + loc. Assembled with one scatter-add over 3x3 blocks.
+    """
+    ni, ns = plan.ni, plan.ns
+    m = ni + ns
+
+    fa_i = ai[s_fac_idx] * s_fac_mask[:, None, None].astype(dt)   # [F,3,3]
+    fa_j = aj[s_fac_idx] * s_fac_mask[:, None, None].astype(dt)
+    fr = r[s_fac_idx] * s_fac_mask[:, None].astype(dt)            # [F,3]
+    col_i = jnp.where(s_i_role == SEPARATOR, ni + s_i_loc, s_i_loc)
+    col_j = jnp.where(s_j_role == SEPARATOR, ni + s_j_loc, s_j_loc)
+
+    pa = ap[s_pri_idx] * s_pri_mask[:, None, None].astype(dt)
+    pr = rp[s_pri_idx] * s_pri_mask[:, None].astype(dt)
+    col_p = jnp.where(s_p_role == SEPARATOR, ni + s_p_loc, s_p_loc)
+
+    h = jnp.zeros((m, m, 3, 3), dt)
+    b = jnp.zeros((m, 3), dt)
+    h = h.at[col_i, col_i].add(jnp.einsum("fab,fac->fbc", fa_i, fa_i))
+    h = h.at[col_i, col_j].add(jnp.einsum("fab,fac->fbc", fa_i, fa_j))
+    h = h.at[col_j, col_i].add(jnp.einsum("fab,fac->fbc", fa_j, fa_i))
+    h = h.at[col_j, col_j].add(jnp.einsum("fab,fac->fbc", fa_j, fa_j))
+    h = h.at[col_p, col_p].add(jnp.einsum("fab,fac->fbc", pa, pa))
+    b = b.at[col_i].add(jnp.einsum("fab,fa->fb", fa_i, fr))
+    b = b.at[col_j].add(jnp.einsum("fab,fa->fb", fa_j, fr))
+    b = b.at[col_p].add(jnp.einsum("fab,fa->fb", pa, pr))
+    hd = jnp.transpose(h, (0, 2, 1, 3)).reshape(3 * m, 3 * m)
+    return hd, b.reshape(-1)
+
+
+def schur_delta(mesh: Mesh, graph: fct.PoseGraph, lin, plan: SchurPlan, lam,
+                axis: str = "space"):
+    """One damped-GN step by distributed Schur elimination.
+
+    Returns delta ``[V, 3]`` (replicated). ``lin`` from
+    :func:`ndtpu.graph.factors.linearize`.
+    """
+    (ai, aj, r), (ap, rp) = lin
+    dt = ai.dtype
+    v = graph.poses.shape[0]
+    ni3, ns3 = 3 * plan.ni, 3 * plan.ns
+
+    dev_args = dict(
+        fac_idx=jnp.asarray(plan.fac_idx), fac_mask=jnp.asarray(plan.fac_mask),
+        i_role=jnp.asarray(plan.i_role), i_loc=jnp.asarray(plan.i_loc),
+        j_role=jnp.asarray(plan.j_role), j_loc=jnp.asarray(plan.j_loc),
+        pri_idx=jnp.asarray(plan.pri_idx), pri_mask=jnp.asarray(plan.pri_mask),
+        p_role=jnp.asarray(plan.p_role), p_loc=jnp.asarray(plan.p_loc),
+        int_global=jnp.asarray(plan.int_global),
+        int_mask=jnp.asarray(plan.int_mask),
+    )
+    sep_global = jnp.asarray(plan.sep_global)
+    sep_mask = jnp.asarray(plan.sep_mask)
+
+    def step(ai, aj, r, ap, rp, fac_idx, fac_mask, i_role, i_loc, j_role,
+             j_loc, pri_idx, pri_mask, p_role, p_loc, int_global, int_mask):
+        # shard_map gives the per-shard slice with a leading axis of 1.
+        sq = lambda x: x[0]
+        h, b = _assemble_local(
+            plan, ai, aj, r, ap, rp, sq(fac_idx), sq(fac_mask), sq(i_role),
+            sq(i_loc), sq(j_role), sq(j_loc), sq(pri_idx), sq(pri_mask),
+            sq(p_role), sq(p_loc), dt)
+
+        h_ii = h[:ni3, :ni3]
+        h_is = h[:ni3, ni3:]
+        h_ss = h[ni3:, ni3:]
+        b_i = b[:ni3]
+        b_s = b[ni3:]
+
+        # Interior damping: LM-scaled |diag| + identity on dead slots.
+        live_i = jnp.repeat(sq(int_mask).astype(dt), 3)
+        damp_i = lam * jnp.maximum(jnp.abs(jnp.diagonal(h_ii)), 1e-8)
+        h_ii = h_ii + jnp.diag(damp_i + (1.0 - live_i))
+
+        l = jnp.linalg.cholesky(h_ii)
+        w = jax.scipy.linalg.cho_solve((l, True), h_is)       # H_II^-1 H_IS
+        y = jax.scipy.linalg.cho_solve((l, True), b_i)        # H_II^-1 b_I
+        s_part = h_ss - h_is.T @ w
+        rhs_part = b_s - h_is.T @ y
+
+        # One fused psum: Schur part, rhs, and the PRE-elimination H_SS
+        # diagonal (LM damping must scale the original Hessian diagonal,
+        # matching solve_dense — damping diag(S) instead changes the step).
+        s_tot, rhs_tot, diag_ss = jax.lax.psum(
+            (s_part, rhs_part, jnp.diagonal(h_ss)), axis)
+
+        # Separator solve (replicated; identical on every shard).
+        live_s = jnp.repeat(sep_mask.astype(dt), 3)
+        damp_s = lam * jnp.maximum(jnp.abs(diag_ss), 1e-8)
+        s_tot = s_tot + jnp.diag(damp_s + (1.0 - live_s))
+        ls = jnp.linalg.cholesky(s_tot)
+        x_s = jax.scipy.linalg.cho_solve((ls, True), -rhs_tot)   # [NS*3]
+
+        # Back-substitute interiors: x_I = -H_II^-1 (b_I + H_IS x_S).
+        x_i = -(y + w @ x_s)
+
+        # Scatter: interior contributions psum to the replicated delta.
+        mine = jnp.zeros((v, 3), dt)
+        mine = mine.at[sq(int_global)].add(
+            x_i.reshape(plan.ni, 3) * sq(int_mask)[:, None].astype(dt))
+        delta = jax.lax.psum(mine, axis)
+        delta = delta.at[sep_global].add(
+            x_s.reshape(plan.ns, 3) * sep_mask[:, None].astype(dt))
+        return delta  # replicated: every shard computed the identical value
+
+    in_specs = ((P(), P(), P(), P(), P())
+                + tuple(P(axis) for _ in range(len(dev_args))))
+    return shard_map(
+        step, mesh=mesh, in_specs=in_specs, out_specs=P(),
+        check_vma=False,
+    )(ai, aj, r, ap, rp, *dev_args.values())
+
+
+def optimize_schur(mesh: Mesh, graph: fct.PoseGraph, plan: SchurPlan,
+                   cfg: SolverConfig, huber_delta: float = 0.0,
+                   axis: str = "space") -> slv.SolveResult:
+    """Nonlinear LM loop around the distributed Schur step (host-driven
+    outer loop; one compiled program per inner step)."""
+    dt = graph.poses.dtype
+    lam = cfg.init_lambda
+    chi = float(fct.chi2(graph, huber_delta))
+    it = 0
+    converged = False
+    for it in range(1, cfg.max_iter + 1):
+        lin = fct.linearize(graph, huber_delta)
+        delta = schur_delta(mesh, graph, lin, plan, jnp.asarray(lam, dt),
+                            axis)
+        new_poses = slv._apply_delta(graph.poses, delta, graph.pose_mask)
+        trial = graph._replace(poses=new_poses)
+        chi_t = float(fct.chi2(trial, huber_delta))
+        if chi_t < chi:
+            graph, chi = trial, chi_t
+            lam = max(lam / cfg.lambda_down, 1e-12)
+            if float(jnp.max(jnp.abs(delta))) < cfg.tol:
+                converged = True
+                break
+        else:
+            lam *= cfg.lambda_up
+            if lam > 1e8:
+                break
+    return slv.SolveResult(graph=graph, chi2=jnp.asarray(chi, dt),
+                           n_iter=jnp.asarray(it, jnp.int32),
+                           converged=jnp.asarray(converged))

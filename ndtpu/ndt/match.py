@@ -34,7 +34,8 @@ import jax.numpy as jnp
 from ndtpu.config import GridConfig, MatchConfig
 from ndtpu.ndt.grid import NDTMap, lookup
 
-__all__ = ["MatchResult", "score_grad_hess", "match", "match_batch"]
+__all__ = ["MatchResult", "transform_terms", "point_terms",
+           "score_grad_hess", "lm_loop", "match", "match_batch"]
 
 
 class MatchResult(NamedTuple):
@@ -45,25 +46,30 @@ class MatchResult(NamedTuple):
     converged: jax.Array  # [...] bool
 
 
-def score_grad_hess(pose, points, mask, ndt_map: NDTMap, grid: GridConfig,
-                    cfg: MatchConfig):
-    """Objective, gradient, Hessian of the NDT score at ``pose``.
+def transform_terms(pose, points):
+    """World-frame points and their phi-derivative for a pose ``[3]``.
 
-    pose: ``[3]``; points: ``[N, 2]`` scan in the sensor frame; mask ``[N]``.
-    Returns ``(f, g [3], H [3,3], score)`` where ``f`` is the value being
-    minimized (negative summed score) and ``score`` the mean per-point match
-    quality used by the loop-closure gate (SURVEY.md §4.5).
+    Returns ``(xw [N, 2], dxdphi [N, 2])`` — shared by the replicated and
+    the slab-sharded (ndtpu.dist.gridmap) score paths.
     """
-    dt = points.dtype
     c, s = jnp.cos(pose[2]), jnp.sin(pose[2])
     px, py = points[..., 0], points[..., 1]
     xw = jnp.stack(
         [c * px - s * py + pose[0], s * px + c * py + pose[1]], axis=-1
-    )                                                   # [N, 2]
-    dxdphi = jnp.stack([-s * px - c * py, c * px - s * py], axis=-1)  # [N, 2]
+    )
+    dxdphi = jnp.stack([-s * px - c * py, c * px - s * py], axis=-1)
+    return xw, dxdphi
 
-    mean, icov, w0 = lookup(ndt_map, xw, grid)          # [G,N,2],[G,N,2,2],[G,N]
-    w0 = w0 * mask.astype(dt)[None, :]
+
+def point_terms(pose, xw, dxdphi, mean, icov, w0, cfg: MatchConfig):
+    """Per-point NDT objective contributions, reduced over all axes.
+
+    xw/dxdphi ``[N, 2]``; mean/icov/w0 ``[G, N, ...]`` gathered per-point
+    Gaussians with validity weights. Returns ``(f, g [3], H [3,3], wsum,
+    w0sum)`` — raw sums, so partial results from map shards can be combined
+    with a plain ``psum`` (ndtpu.dist.gridmap.match_slab).
+    """
+    dt = xw.dtype
     d = xw[None] - mean                                 # [G, N, 2]
     q = jnp.einsum("gnij,gnj->gni", icov, d)            # [G, N, 2] = Lambda d
     l2 = jnp.sum(d * q, axis=-1)                        # [G, N] Mahalanobis^2
@@ -94,9 +100,25 @@ def score_grad_hess(pose, points, mask, ndt_map: NDTMap, grid: GridConfig,
             - d2 * a[..., :, None] * a[..., None, :])
     h = d2 * jnp.einsum("gn,gnkl->kl", w, h_pt)
 
-    f = -jnp.sum(w)
-    denom = jnp.maximum(jnp.sum(w0), 1.0)
-    return f, g, h, jnp.sum(w) / denom
+    wsum = jnp.sum(w)
+    return -wsum, g, h, wsum, jnp.sum(w0)
+
+
+def score_grad_hess(pose, points, mask, ndt_map: NDTMap, grid: GridConfig,
+                    cfg: MatchConfig):
+    """Objective, gradient, Hessian of the NDT score at ``pose``.
+
+    pose: ``[3]``; points: ``[N, 2]`` scan in the sensor frame; mask ``[N]``.
+    Returns ``(f, g [3], H [3,3], score)`` where ``f`` is the value being
+    minimized (negative summed score) and ``score`` the mean per-point match
+    quality used by the loop-closure gate (SURVEY.md §4.5).
+    """
+    dt = points.dtype
+    xw, dxdphi = transform_terms(pose, points)
+    mean, icov, w0 = lookup(ndt_map, xw, grid)          # [G,N,2],[G,N,2,2],[G,N]
+    w0 = w0 * mask.astype(dt)[None, :]
+    f, g, h, wsum, w0sum = point_terms(pose, xw, dxdphi, mean, icov, w0, cfg)
+    return f, g, h, wsum / jnp.maximum(w0sum, 1.0)
 
 
 def solve3(a, b):
@@ -138,21 +160,16 @@ def _solve_damped(h, g, lam, dt):
     return solve3(a, -g)
 
 
-def match(points, mask, ndt_map: NDTMap, init_pose, grid: GridConfig,
-          cfg: MatchConfig) -> MatchResult:
-    """Register one scan against the map starting from ``init_pose`` ``[3]``.
+def lm_loop(sgh, init_pose, cfg: MatchConfig) -> MatchResult:
+    """Damped-Newton (LM) iteration parametrized by the objective evaluator.
 
-    The LM loop runs as a ``lax.while_loop``; each iteration performs exactly
-    one score/grad/Hessian evaluation (at the trial point) and accepts or
-    rejects the step by comparing objectives. ``vmap`` freely for batching —
-    see :func:`match_batch`.
+    ``sgh(pose) -> (f, g, H, score)``. Shared by the single-device matcher
+    (objective from :func:`score_grad_hess`) and the slab-sharded matcher
+    (psum-fused objective, ndtpu.dist.gridmap.match_slab). Each iteration
+    performs exactly one evaluation (at the trial point) and accepts or
+    rejects the step by comparing objectives.
     """
-    dt = points.dtype
-    init_pose = init_pose.astype(dt)
-
-    def sgh(pose):
-        return score_grad_hess(pose, points, mask, ndt_map, grid, cfg)
-
+    dt = init_pose.dtype
     f0, g0, h0, s0 = sgh(init_pose)
 
     def cond(carry):
@@ -196,6 +213,18 @@ def match(points, mask, ndt_map: NDTMap, init_pose, grid: GridConfig,
     converged = conv & (f < 0.0)  # f < 0 iff some points matched valid cells
     return MatchResult(pose=pose, hessian=h, score=score, n_iter=it,
                        converged=converged)
+
+
+def match(points, mask, ndt_map: NDTMap, init_pose, grid: GridConfig,
+          cfg: MatchConfig) -> MatchResult:
+    """Register one scan against the map starting from ``init_pose`` ``[3]``.
+
+    ``vmap`` freely for batching — see :func:`match_batch`.
+    """
+    def sgh(pose):
+        return score_grad_hess(pose, points, mask, ndt_map, grid, cfg)
+
+    return lm_loop(sgh, init_pose.astype(points.dtype), cfg)
 
 
 def match_batch(points, mask, ndt_map: NDTMap, init_poses, grid: GridConfig,

@@ -8,11 +8,12 @@ Two roles (SURVEY.md §5, §7):
    Tests compare the TPU tensor programs against this to f64 precision.
 2. **Baseline proxy**: the reference binary cannot be built (empty checkout,
    SURVEY.md §0) and it publishes no numbers (BASELINE.md). The measurable
-   stand-in for "single-thread C++ baseline" is this implementation's
-   scans/s, measured on the same workload as the TPU path. NumPy-on-one-core
-   is within a small factor of naive C++ for this access pattern (the inner
-   math is vectorized per scan exactly like Eigen would); BENCH results
-   record it as ``vs_baseline`` with this caveat documented.
+   stand-in for "single-thread C++ baseline" is :func:`match_vectorized` —
+   the same algorithm with the per-scan inner loop vectorized over points
+   through BLAS-backed numpy, which is the performance class of an
+   Eigen-based C++ implementation (the pure-Python per-point loop in
+   :func:`match` is an *oracle*, not a baseline — it is ~100x slower than
+   compiled code and would flatter ``vs_baseline``).
 
 Intentionally independent code: no imports from the JAX modules.
 """
@@ -21,7 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["NumpyNDTMap", "build_map", "match"]
+__all__ = ["NumpyNDTMap", "build_map", "match", "match_vectorized"]
 
 
 class NumpyNDTMap:
@@ -153,3 +154,83 @@ def match(points, mask, m: NumpyNDTMap, init_pose, max_iter=30, tol=1e-4,
         it += 1
     converged = converged and f < 0.0
     return pose, h, score, it, converged
+
+
+def _score_grad_hess_vec(pose, points, mask, m: NumpyNDTMap, d2=0.5,
+                         exp_clip=40.0):
+    """Vectorized-over-points objective — the Eigen-class single-thread
+    inner loop used as the baseline of record (one numpy op per line of the
+    reference's per-point math; still one core, one scan at a time)."""
+    c, s = np.cos(pose[2]), np.sin(pose[2])
+    pts = points[mask]
+    xw = np.stack([c * pts[:, 0] - s * pts[:, 1] + pose[0],
+                   s * pts[:, 0] + c * pts[:, 1] + pose[1]], axis=-1)
+    dxdphi = np.stack([-s * pts[:, 0] - c * pts[:, 1],
+                       c * pts[:, 0] - s * pts[:, 1]], axis=-1)
+    f, g, h = 0.0, np.zeros(3), np.zeros((3, 3))
+    wsum, w0sum = 0.0, 0.0
+    for gi, (ox, oy) in enumerate(m.offsets):
+        ix = np.floor((xw[:, 0] - m.x0 - ox) / m.cell).astype(int)
+        iy = np.floor((xw[:, 1] - m.y0 - oy) / m.cell).astype(int)
+        inb = (ix >= 0) & (ix < m.nx) & (iy >= 0) & (iy < m.ny)
+        ci = np.clip(iy, 0, m.ny - 1) * m.nx + np.clip(ix, 0, m.nx - 1)
+        ok = inb & m.valid[gi, ci]
+        if not np.any(ok):
+            continue
+        mu = m.mean[gi, ci[ok]]
+        lam = m.icov[gi, ci[ok]]
+        d = xw[ok] - mu
+        q = np.einsum("nij,nj->ni", lam, d)
+        l2 = np.sum(d * q, axis=-1)
+        w = np.exp(-0.5 * d2 * np.clip(l2, 0.0, exp_clip))
+        a = np.stack([q[:, 0], q[:, 1],
+                      np.sum(q * dxdphi[ok], axis=-1)], axis=-1)   # [N,3]
+        f -= w.sum()
+        wsum += w.sum()
+        w0sum += ok.sum()
+        g += d2 * (w[:, None] * a).sum(0)
+        ld = np.einsum("nij,nj->ni", lam, dxdphi[ok])
+        j33 = np.sum(dxdphi[ok] * ld, axis=-1)
+        hpp = -np.sum(q * (xw[ok] - pose[:2]), axis=-1)
+        # accumulate J^T Lam J + e33*hpp - d2 a a^T, weighted by w
+        h[0, 0] += np.sum(w * lam[:, 0, 0])
+        h[0, 1] += np.sum(w * lam[:, 0, 1])
+        h[1, 1] += np.sum(w * lam[:, 1, 1])
+        h[0, 2] += np.sum(w * ld[:, 0])
+        h[1, 2] += np.sum(w * ld[:, 1])
+        h[2, 2] += np.sum(w * (j33 + hpp))
+        h -= d2 * np.einsum("n,na,nb->ab", w, a, a)
+    h[1, 0], h[2, 0], h[2, 1] = h[0, 1], h[0, 2], h[1, 2]
+    h *= d2
+    score = wsum / max(w0sum, 1.0)
+    return f, g, h, score
+
+
+def match_vectorized(points, mask, m: NumpyNDTMap, init_pose, max_iter=30,
+                     tol=1e-4, init_lambda=1e-3, lambda_up=10.0,
+                     lambda_down=3.0, max_lambda=1e6, step_clip=2.0, d2=0.5):
+    """LM registration with the vectorized objective (baseline of record)."""
+    pose = np.asarray(init_pose, float).copy()
+    f, g, h, score = _score_grad_hess_vec(pose, points, mask, m, d2)
+    lam = init_lambda
+    it, converged = 0, False
+    done = np.sum(np.abs(g)) == 0.0
+    while it < max_iter and not done:
+        diag = np.maximum(np.abs(np.diag(h)), 1e-6)
+        aa = h + lam * np.diag(diag)
+        delta = np.linalg.solve(aa, -g)
+        tn = np.hypot(delta[0], delta[1])
+        if tn > step_clip:
+            delta *= step_clip / tn
+        f2, g2, h2, s2 = _score_grad_hess_vec(pose + delta, points, mask, m,
+                                              d2)
+        if f2 < f:
+            pose, f, g, h, score = pose + delta, f2, g2, h2, s2
+            lam = max(lam / lambda_down, 1e-9)
+        else:
+            lam *= lambda_up
+        small = np.linalg.norm(delta) < tol
+        done = small or lam > max_lambda
+        converged = small
+        it += 1
+    return pose, h, score, it, converged and f < 0.0

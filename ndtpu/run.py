@@ -1,0 +1,139 @@
+"""CLI dataset runner — the L7 layer (SURVEY.md §2).
+
+Usage::
+
+    python -m ndtpu.run --config configs/config2_intel_full.json \
+        [--dataset intel.clf] [--out-traj traj.txt] [--out-metrics m.jsonl] \
+        [--checkpoint-dir ckpts] [--resume]
+
+With ``--dataset`` a CARMEN log is processed; without it the config's
+synthetic sequence is simulated (the datasets are not distributable with
+this machine — SURVEY.md §0). Writes the estimated trajectory in TUM-style
+``x y theta`` rows, per-scan JSONL metrics, and an ASCII map sketch to
+stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _build_inputs(args, cfg):
+    import jax.numpy as jnp
+
+    from ndtpu.data import carmen, synth
+
+    if args.dataset:
+        log = carmen.read_carmen(args.dataset)
+        pts, mask, odom = carmen.to_sequence(
+            log, max_range=cfg.max_range, min_range=cfg.min_range)
+        t = pts.shape[0] if args.max_scans is None else min(
+            pts.shape[0], args.max_scans)
+        return (jnp.asarray(pts[:t]), jnp.asarray(mask[:t]),
+                jnp.asarray(odom[:t]), None)
+    # Synthetic fallback with ground truth.
+    n = args.max_scans or 300
+    world = synth.corridor_loop_world(outer=18.0, width=5.0)
+    traj = synth.rectangle_trajectory(n, half=15.0, step=0.25)
+    seq = synth.make_sequence(world, traj, n_beams=cfg.n_beams,
+                              max_range=cfg.max_range,
+                              min_range=cfg.min_range, seed=cfg.seed,
+                              odom_trans_std=0.03, odom_rot_std=0.008)
+    return seq.points, seq.mask, seq.odom, seq.gt_poses
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--dataset", default=None,
+                        help="CARMEN .clf/.log file (synthetic if omitted)")
+    parser.add_argument("--max-scans", type=int, default=None)
+    parser.add_argument("--out-traj", default=None)
+    parser.add_argument("--out-metrics", default=None)
+    parser.add_argument("--checkpoint-dir", default=None)
+    parser.add_argument("--checkpoint-every", type=int, default=100)
+    parser.add_argument("--resume", action="store_true")
+    args = parser.parse_args(argv)
+
+    import jax
+
+    from ndtpu.config import PipelineConfig
+    from ndtpu.eval.ate import ate_rmse, rpe
+    from ndtpu.slam import pipeline
+    from ndtpu.utils import checkpoint as ckpt
+    from ndtpu.utils import metrics
+
+    cfg = PipelineConfig.from_json(args.config)
+    points, mask, odom, gt = _build_inputs(args, cfg)
+    t_total = points.shape[0]
+    print(f"[run] {t_total} scans x {points.shape[1]} beams; "
+          f"loop_closure={cfg.use_loop_closure}", file=sys.stderr)
+
+    mgr = (ckpt.CheckpointManager(args.checkpoint_dir,
+                                  every=args.checkpoint_every)
+           if args.checkpoint_dir else None)
+
+    state = pipeline.init_slam(cfg, points[0], mask[0])
+    start = 1
+    if args.resume and mgr is not None:
+        step, restored = mgr.restore_latest(state)
+        if restored is not None:
+            state, start = restored, step + 1
+            print(f"[run] resumed at scan {start}", file=sys.stderr)
+
+    records = []
+    outs = []
+    t0 = time.perf_counter()
+    for t in range(start, t_total):
+        rec = {"scan": t}
+        with metrics.timer(rec, "step_s"):
+            state, out = pipeline.slam_step(state, points[t], mask[t],
+                                            odom[t], cfg)
+        outs.append(out)
+        rec.update(score=float(out.score), is_kf=bool(out.is_keyframe),
+                   loops=int(out.n_loops_new))
+        records.append(rec)
+        if mgr is not None:
+            mgr.maybe_save(t, state)
+    jax.block_until_ready(state.pose)
+    dt = time.perf_counter() - t0
+    print(f"[run] {(t_total - start) / dt:.1f} scans/s "
+          f"({dt:.1f}s total), keyframes={int(state.kf.n)}, "
+          f"loops={int(state.n_loops)}", file=sys.stderr)
+
+    stacked = jax.tree_util.tree_map(lambda *x: jax.numpy.stack(x), *outs)
+    traj = np.asarray(pipeline.recover_trajectory(state, stacked))
+
+    if gt is not None:
+        gt_np = np.asarray(gt)[t_total - traj.shape[0]:]
+        ate = float(ate_rmse(jax.numpy.asarray(traj),
+                             jax.numpy.asarray(gt_np)))
+        t_rmse, r_rmse = rpe(jax.numpy.asarray(traj),
+                             jax.numpy.asarray(gt_np))
+        print(f"[run] ATE {ate:.4f} m; RPE {float(t_rmse):.4f} m / "
+              f"{float(r_rmse):.4f} rad", file=sys.stderr)
+
+    if args.out_traj:
+        np.savetxt(args.out_traj, traj, fmt="%.6f")
+        print(f"[run] trajectory -> {args.out_traj}", file=sys.stderr)
+    if args.out_metrics:
+        with metrics.JsonlLogger(args.out_metrics) as lg:
+            for r in records:
+                lg.write(r)
+            lg.write({"summary": metrics.summarize_run(records)})
+        print(f"[run] metrics -> {args.out_metrics}", file=sys.stderr)
+
+    from ndtpu.ndt import grid as ndt_grid
+
+    m = ndt_grid.finalize(state.stats, cfg.ndt)
+    v = np.asarray(m.valid[0]).reshape(cfg.grid.ny, cfg.grid.nx)
+    print(metrics.map_to_ascii(v), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,162 @@
+"""Distributed layer on the 8-virtual-device CPU mesh (SURVEY.md §5 item 4):
+sharded builds/matches must agree with the single-device reference paths,
+and the distributed Schur solve must match the dense solver."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ndtpu import dist
+from ndtpu.config import (GridConfig, MatchConfig, NDTMapConfig, SolverConfig)
+from ndtpu.data import g2o, synth
+from ndtpu.graph import factors as fct
+from ndtpu.graph import solve as slv
+from ndtpu.ndt import grid as ndt_grid
+from ndtpu.ndt import match as ndt_match
+
+GRID = GridConfig(x0=-8.0, y0=-8.0, cell=1.0, nx=16, ny=16, overlap=4)
+
+
+@pytest.fixture(scope="module")
+def cloud():
+    key = jax.random.PRNGKey(0)
+    pts = jax.random.uniform(key, (512, 2), jnp.float32, -7.5, 7.5)
+    mask = jnp.ones((512,), bool)
+    return pts, mask
+
+
+def _dense_to_slab(stats: ndt_grid.NDTStats, grid: GridConfig):
+    """Reference layout [G, C=ny*nx] -> slab layout [G, nx, ny]."""
+    g = grid.overlap
+
+    def conv(x):
+        lead = x.shape[2:]
+        return jnp.transpose(x.reshape((g, grid.ny, grid.nx) + lead),
+                             (0, 2, 1) + tuple(range(3, 3 + len(lead))))
+
+    return dist.SlabStats(n=conv(stats.n), s=conv(stats.s), ss=conv(stats.ss))
+
+
+def test_build_slab_stats_matches_dense(cloud):
+    pts, mask = cloud
+    mesh = dist.space_mesh()
+    slab = dist.build_slab_stats(mesh, pts, mask, GRID)
+    ref = _dense_to_slab(ndt_grid.build_stats(pts, mask, GRID), GRID)
+    np.testing.assert_allclose(np.asarray(slab.n), np.asarray(ref.n),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(slab.s), np.asarray(ref.s),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(slab.ss), np.asarray(ref.ss),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_build_slab_psharded_halo_matches_dense(cloud):
+    pts, mask = cloud
+    mesh = dist.space_mesh()
+    # Shard the points by batch: 8 groups of 64 — groups are spatially mixed,
+    # so halo=16 (full width) degenerates... use points clustered per shard
+    # to honor the halo contract instead:
+    d = 8
+    xs = jnp.linspace(-7.5, 5.5, d)
+    key = jax.random.PRNGKey(1)
+    local = jax.random.uniform(key, (d, 64, 2), jnp.float32, 0.0, 2.0)
+    ppts = local + jnp.stack(
+        [xs[:, None] + jnp.zeros((d, 64)), jnp.zeros((d, 64))], axis=-1)
+    pmask = jnp.ones((d, 64), bool)
+    slab = dist.build_slab_stats_psharded(mesh, ppts, pmask, GRID, halo=2)
+    ref = _dense_to_slab(
+        ndt_grid.build_stats(ppts.reshape(-1, 2), pmask.reshape(-1), GRID),
+        GRID)
+    np.testing.assert_allclose(np.asarray(slab.n), np.asarray(ref.n),
+                               rtol=1e-6)
+
+
+def test_match_slab_agrees_with_reference(cloud):
+    pts, mask = cloud
+    # Structured scene: a box room scan.
+    world = synth.box_world(half=6.0)
+    angles = synth.beam_angles(180)
+    true_pose = jnp.asarray([0.4, -0.3, 0.15], jnp.float32)
+    r0 = synth.raycast(world, jnp.zeros((1, 3), jnp.float32), angles, 12.0)[0]
+    map_pts, map_msk = synth.polar_to_xy(r0, angles, 0.1, 12.0)
+    r1 = synth.raycast(world, true_pose[None], angles, 12.0)[0]
+    scan_pts, scan_msk = synth.polar_to_xy(r1, angles, 0.1, 12.0)
+
+    stats = ndt_grid.build_stats(map_pts, map_msk, GRID)
+    ndt_map = ndt_grid.finalize(stats, NDTMapConfig())
+    ref = ndt_match.match(scan_pts, scan_msk, ndt_map, jnp.zeros(3), GRID,
+                          MatchConfig())
+
+    mesh = dist.space_mesh()
+    slab_stats = dist.build_slab_stats(mesh, map_pts, map_msk, GRID)
+    slab_map = dist.finalize_slab(slab_stats, NDTMapConfig())
+    got = dist.match_slab(mesh, scan_pts, scan_msk, slab_map, jnp.zeros(3),
+                          GRID, MatchConfig())
+    assert bool(got.converged)
+    np.testing.assert_allclose(np.asarray(got.pose), np.asarray(ref.pose),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got.pose), np.asarray(true_pose),
+                               atol=0.15)
+
+
+def test_match_batch_sharded(cloud):
+    world = synth.box_world(half=6.0)
+    angles = synth.beam_angles(180)
+    r0 = synth.raycast(world, jnp.zeros((1, 3), jnp.float32), angles, 12.0)[0]
+    map_pts, map_msk = synth.polar_to_xy(r0, angles, 0.1, 12.0)
+    stats = ndt_grid.build_stats(map_pts, map_msk, GRID)
+    ndt_map = ndt_grid.finalize(stats, NDTMapConfig())
+
+    b = 16
+    poses = jnp.stack([
+        jnp.linspace(-0.3, 0.3, b),
+        jnp.linspace(0.2, -0.2, b),
+        jnp.linspace(-0.1, 0.1, b)], axis=-1).astype(jnp.float32)
+    rr = synth.raycast(world, poses, angles, 12.0)
+    spts, smsk = synth.polar_to_xy(rr, angles, 0.1, 12.0)
+
+    mesh = dist.batch_mesh()
+    got = dist.match_batch_sharded(mesh, spts, smsk, ndt_map,
+                                   jnp.zeros((b, 3)), GRID, MatchConfig())
+    ref = ndt_match.match_batch(spts, smsk, ndt_map, jnp.zeros((b, 3)),
+                                GRID, MatchConfig())
+    assert bool(jnp.all(got.converged))
+    # f32 reduction order differs between the partitioned and local programs.
+    np.testing.assert_allclose(np.asarray(got.pose), np.asarray(ref.pose),
+                               atol=1e-4)
+
+
+def test_schur_matches_dense_solver():
+    data = g2o.manhattan_world(300, seed=4, loop_prob=0.15)
+    g = g2o.to_graph(data, dtype=jnp.float64)
+    plan = dist.plan_partition(
+        np.asarray(g.bet_i), np.asarray(g.bet_j), np.asarray(g.bet_mask),
+        np.asarray(g.prior_idx), np.asarray(g.prior_mask),
+        int(g.poses.shape[0]), n_shards=8)
+    assert plan.ns > 1  # loops must cross shards
+
+    mesh = dist.space_mesh()
+    cfg = SolverConfig(max_iter=30)
+    got = dist.optimize_schur(mesh, g, plan, cfg)
+    ref = slv.optimize(g, cfg, method="dense")
+    # Both must reach the same optimum chi2.
+    assert float(got.chi2) < 1.02 * float(ref.chi2), (
+        float(got.chi2), float(ref.chi2))
+
+
+def test_schur_delta_equals_dense_delta():
+    """Single damped-GN step: distributed Schur == dense normal equations."""
+    data = g2o.manhattan_world(120, seed=7, loop_prob=0.2)
+    g = g2o.to_graph(data, dtype=jnp.float64)
+    plan = dist.plan_partition(
+        np.asarray(g.bet_i), np.asarray(g.bet_j), np.asarray(g.bet_mask),
+        np.asarray(g.prior_idx), np.asarray(g.prior_mask),
+        int(g.poses.shape[0]), n_shards=4)
+    mesh = dist.space_mesh(4)
+    lin = fct.linearize(g)
+    lam = jnp.asarray(1e-3, jnp.float64)
+    got = dist.schur_delta(mesh, g, lin, plan, lam)
+    ref = slv.solve_dense(g, lin, lam)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-8)
