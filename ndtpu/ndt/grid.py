@@ -39,6 +39,8 @@ __all__ = [
     "build_stats",
     "finalize",
     "lookup",
+    "pack_map",
+    "lookup_packed",
 ]
 
 
@@ -185,6 +187,37 @@ def finalize(stats: NDTStats, cfg: NDTMapConfig) -> NDTMap:
     )
     valid = (n >= cfg.min_pts).astype(mean.dtype)
     return NDTMap(mean=mean, icov=icov, valid=valid)
+
+
+def pack_map(ndt_map: NDTMap) -> jax.Array:
+    """Pack the Gaussian view into one gather-friendly table ``[G, C, 8]``.
+
+    Layout per cell: ``[mu_x, mu_y, icov_00, icov_01, icov_11, valid, 0, 0]``
+    (icov is symmetric — 3 unique entries). One 32-byte row per cell turns
+    the matcher's three separate gathers (mean/icov/valid) into a single
+    coalesced one; done once per match call, amortized over all LM
+    iterations (the map is fixed while the pose iterates).
+    """
+    mean, icov, valid = ndt_map.mean, ndt_map.icov, ndt_map.valid
+    zeros = jnp.zeros_like(valid)
+    return jnp.stack(
+        [mean[..., 0], mean[..., 1], icov[..., 0, 0], icov[..., 0, 1],
+         icov[..., 1, 1], valid, zeros, zeros], axis=-1)
+
+
+def lookup_packed(packed: jax.Array, points: jax.Array, grid: GridConfig):
+    """Gather per-point Gaussians from a packed table (see :func:`pack_map`).
+
+    Returns the same ``(mean, icov, w)`` triple as :func:`lookup`.
+    """
+    ids, inb = cell_ids(points, grid)                    # [G, N]
+    rows = jnp.take_along_axis(packed, ids[..., None], axis=1)   # [G, N, 8]
+    mean = rows[..., 0:2]
+    icov = jnp.stack(
+        [jnp.stack([rows[..., 2], rows[..., 3]], axis=-1),
+         jnp.stack([rows[..., 3], rows[..., 4]], axis=-1)], axis=-2)
+    w = rows[..., 5] * inb.astype(points.dtype)
+    return mean, icov, w
 
 
 def lookup(ndt_map: NDTMap, points: jax.Array, grid: GridConfig):

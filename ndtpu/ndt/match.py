@@ -219,12 +219,26 @@ def match(points, mask, ndt_map: NDTMap, init_pose, grid: GridConfig,
           cfg: MatchConfig) -> MatchResult:
     """Register one scan against the map starting from ``init_pose`` ``[3]``.
 
-    ``vmap`` freely for batching — see :func:`match_batch`.
+    The Gaussian view is packed once into a single ``[G, C, 8]`` table
+    (:func:`ndtpu.ndt.grid.pack_map`) so every LM iteration performs ONE
+    coalesced gather instead of three. ``vmap`` freely for batching — see
+    :func:`match_batch`.
     """
-    def sgh(pose):
-        return score_grad_hess(pose, points, mask, ndt_map, grid, cfg)
+    from ndtpu.ndt.grid import lookup_packed, pack_map
 
-    return lm_loop(sgh, init_pose.astype(points.dtype), cfg)
+    packed = pack_map(ndt_map)
+    dt = points.dtype
+    mask_f = mask.astype(dt)[None, :]
+
+    def sgh(pose):
+        xw, dxdphi = transform_terms(pose, points)
+        mean, icov, w0 = lookup_packed(packed, xw, grid)
+        w0 = w0 * mask_f
+        f, g, h, wsum, w0sum = point_terms(pose, xw, dxdphi, mean, icov, w0,
+                                           cfg)
+        return f, g, h, wsum / jnp.maximum(w0sum, 1.0)
+
+    return lm_loop(sgh, init_pose.astype(dt), cfg)
 
 
 def match_batch(points, mask, ndt_map: NDTMap, init_poses, grid: GridConfig,
