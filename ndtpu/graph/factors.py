@@ -38,6 +38,7 @@ __all__ = [
     "linearize",
     "chi2",
     "info_to_sqrt_info",
+    "robust_weight",
 ]
 
 
@@ -191,14 +192,38 @@ def _between_jacobians(pose_i, pose_j):
     return ji, jj
 
 
+def robust_weight(r_norm, delta, kind: str = "huber"):
+    """IRLS sqrt-weights for the standard robust kernels (GTSAM
+    ``noiseModel::mEstimator`` capability, SURVEY.md §3.2).
+
+    Applied multiplicatively to whitened Jacobian rows and residuals, so a
+    weight ``s`` scales the factor's effective information by ``s^2``:
+
+    - ``huber``:  s^2 = min(1, delta/|r|)
+    - ``cauchy``: s^2 = 1 / (1 + (r/delta)^2)
+    - ``tukey``:  s^2 = (1 - (r/delta)^2)^2 for |r| < delta else 0
+    - ``geman``:  s^2 = delta^2 / (delta + r^2)^2 (Geman-McClure, scaled so
+      s = 1 at r = 0 when delta = 1)
+    """
+    r = jnp.maximum(r_norm, 1e-12)
+    if kind == "huber":
+        return jnp.where(r <= delta, 1.0, jnp.sqrt(delta / r))
+    if kind == "cauchy":
+        return 1.0 / jnp.sqrt(1.0 + (r / delta) ** 2)
+    if kind == "tukey":
+        u = jnp.minimum(r / delta, 1.0)
+        return 1.0 - u * u
+    if kind == "geman":
+        return delta / (delta + r * r)
+    raise ValueError(f"unknown robust kernel {kind!r}")
+
+
 def _huber_weight(r_norm, delta):
-    """Huber IRLS weight on the whitened residual norm (robust kernel,
-    SURVEY.md §3.2 'noise models ... robust')."""
-    return jnp.where(r_norm <= delta, 1.0,
-                     jnp.sqrt(delta / jnp.maximum(r_norm, 1e-12)))
+    return robust_weight(r_norm, delta, "huber")
 
 
-def linearize(g: PoseGraph, huber_delta: float = 0.0):
+def linearize(g: PoseGraph, huber_delta: float = 0.0,
+              robust: str = "huber"):
     """Batched relinearization of every factor (SURVEY.md §3.2: 'one vmap
     over the factor SoA producing [F,3,3]/[F,3] blocks').
 
@@ -218,7 +243,7 @@ def linearize(g: PoseGraph, huber_delta: float = 0.0):
 
     ai, aj, r = jax.vmap(one_bet)(pi, pj, g.bet_z, g.bet_sqrt_info)
     if huber_delta > 0.0:
-        w = _huber_weight(jnp.linalg.norm(r, axis=-1), huber_delta)
+        w = robust_weight(jnp.linalg.norm(r, axis=-1), huber_delta, robust)
         ai, aj, r = ai * w[:, None, None], aj * w[:, None, None], r * w[:, None]
     m = g.bet_mask.astype(r.dtype)
     ai, aj, r = ai * m[:, None, None], aj * m[:, None, None], r * m[:, None]
@@ -233,7 +258,7 @@ def linearize(g: PoseGraph, huber_delta: float = 0.0):
     return (ai, aj, r), (ap, rp)
 
 
-def chi2(g: PoseGraph, huber_delta: float = 0.0):
+def chi2(g: PoseGraph, huber_delta: float = 0.0, robust: str = "huber"):
     """Total weighted squared error (GTSAM ``graph.error`` capability)."""
-    (ai, aj, r), (ap, rp) = linearize(g, huber_delta)
+    (ai, aj, r), (ap, rp) = linearize(g, huber_delta, robust)
     return jnp.sum(r * r) + jnp.sum(rp * rp)

@@ -1,0 +1,78 @@
+"""Robust kernels: outlier loop factors must not corrupt the solution when
+a robust kernel is active (GTSAM mEstimator capability)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ndtpu.config import SolverConfig
+from ndtpu.graph import factors as fct
+from ndtpu.graph import solve as slv
+from ndtpu.lie import se2
+
+
+def _chain_with_outlier(dtype=jnp.float64):
+    n = 24
+    sq = jnp.asarray(np.diag([10.0, 10.0, 20.0]), dtype)
+    g = fct.empty_graph(n, 2, 2 * n, dtype)
+    gt = np.zeros((n, 3))
+    for k in range(1, n):
+        gt[k] = gt[k - 1] + [1.0, 0.0, 0.0]
+    rng = np.random.default_rng(0)
+    noisy = gt + rng.normal(0, 0.02, gt.shape)
+    noisy[0] = 0.0
+    g = g._replace(poses=jnp.asarray(noisy, dtype),
+                   pose_mask=jnp.ones((n,), bool),
+                   n_poses=jnp.asarray(n, jnp.int32))
+    g = fct.add_prior(g, 0, jnp.zeros(3, dtype), sq)
+    for k in range(1, n):
+        z = se2.between(jnp.asarray(gt[k - 1], dtype),
+                        jnp.asarray(gt[k], dtype))
+        g = fct.add_between(g, k - 1, k, z, sq)
+    # A wildly wrong loop factor (false-positive loop closure).
+    g = fct.add_between(g, 0, n - 1, jnp.asarray([2.0, 5.0, 1.5], dtype), sq)
+    return g, gt
+
+
+def _irls(g, kind, delta=1.0, iters=30):
+    graph = g
+    for _ in range(iters):
+        lin = fct.linearize(graph, delta, robust=kind)
+        d = slv.solve_dense(graph, lin, 1e-6)
+        graph = graph._replace(
+            poses=slv._apply_delta(graph.poses, d, graph.pose_mask))
+    return graph
+
+
+@pytest.mark.parametrize("kind", ["cauchy", "geman", "tukey"])
+def test_redescending_kernels_reject_outlier(kind):
+    """Redescending kernels drive the false loop's weight to ~0, so the
+    solution stays on the odometry chain. (Huber — convex — provably cannot
+    reject an unbounded outlier against a chain whose own residuals also
+    saturate; that matches GTSAM behavior and is not tested for rejection.)
+    """
+    g, gt = _chain_with_outlier()
+    graph = _irls(g, kind)
+    err = float(jnp.max(jnp.abs(graph.poses[:, :2]
+                                - jnp.asarray(gt[:, :2]))))
+    # Cauchy's influence decays like 1/r (not to zero), so it tolerates a
+    # slightly larger residual pull than the fully-redescending kernels.
+    assert err < (0.2 if kind == "cauchy" else 0.1), (kind, err)
+
+
+def test_huber_no_worse_than_plain():
+    g, gt = _chain_with_outlier()
+    res = slv.optimize(g, SolverConfig(max_iter=30), method="dense",
+                       huber_delta=0.0)
+    err_plain = float(jnp.max(jnp.abs(res.graph.poses[:, :2]
+                                      - jnp.asarray(gt[:, :2]))))
+    graph = _irls(g, "huber")
+    err_rob = float(jnp.max(jnp.abs(graph.poses[:, :2]
+                                    - jnp.asarray(gt[:, :2]))))
+    assert err_rob <= err_plain * 1.05, (err_rob, err_plain)
+
+
+def test_tukey_weight_vanishes_beyond_delta():
+    w = fct.robust_weight(jnp.asarray([0.0, 0.5, 1.0, 5.0]), 1.0, "tukey")
+    assert float(w[0]) == 1.0
+    assert float(w[3]) == 0.0
