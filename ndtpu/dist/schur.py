@@ -282,30 +282,42 @@ def schur_delta(mesh: Mesh, graph: fct.PoseGraph, lin, plan: SchurPlan, lam,
 def optimize_schur(mesh: Mesh, graph: fct.PoseGraph, plan: SchurPlan,
                    cfg: SolverConfig, huber_delta: float = 0.0,
                    axis: str = "space") -> slv.SolveResult:
-    """Nonlinear LM loop around the distributed Schur step (host-driven
-    outer loop; one compiled program per inner step)."""
+    """Nonlinear LM loop around the distributed Schur step.
+
+    The whole LM iteration — relinearize, distributed Schur step, chi^2
+    trial, accept/reject — is ONE jitted program traced once; the host loop
+    only dispatches it and reads back the two control scalars (accepted
+    chi^2 and step size), so cost per iteration is a compiled-program launch
+    rather than a shard_map retrace."""
     dt = graph.poses.dtype
-    lam = cfg.init_lambda
-    chi = float(fct.chi2(graph, huber_delta))
+
+    @jax.jit
+    def one_iter(g, lam, chi):
+        lin = fct.linearize(g, huber_delta)
+        delta = schur_delta(mesh, g, lin, plan, lam, axis)
+        trial_poses = slv._apply_delta(g.poses, delta, g.pose_mask)
+        chi_t = fct.chi2(g._replace(poses=trial_poses), huber_delta)
+        accept = chi_t < chi
+        poses_n = jnp.where(accept, trial_poses, g.poses)
+        chi_n = jnp.where(accept, chi_t, chi)
+        lam_n = jnp.where(accept,
+                          jnp.maximum(lam / cfg.lambda_down, 1e-12),
+                          lam * cfg.lambda_up)
+        step = jnp.max(jnp.abs(delta))
+        return poses_n, lam_n, chi_n, accept, step
+
+    lam = jnp.asarray(cfg.init_lambda, dt)
+    chi = fct.chi2(graph, huber_delta)
     it = 0
     converged = False
     for it in range(1, cfg.max_iter + 1):
-        lin = fct.linearize(graph, huber_delta)
-        delta = schur_delta(mesh, graph, lin, plan, jnp.asarray(lam, dt),
-                            axis)
-        new_poses = slv._apply_delta(graph.poses, delta, graph.pose_mask)
-        trial = graph._replace(poses=new_poses)
-        chi_t = float(fct.chi2(trial, huber_delta))
-        if chi_t < chi:
-            graph, chi = trial, chi_t
-            lam = max(lam / cfg.lambda_down, 1e-12)
-            if float(jnp.max(jnp.abs(delta))) < cfg.tol:
-                converged = True
-                break
-        else:
-            lam *= cfg.lambda_up
-            if lam > 1e8:
-                break
-    return slv.SolveResult(graph=graph, chi2=jnp.asarray(chi, dt),
+        poses, lam, chi, accept, step = one_iter(graph, lam, chi)
+        graph = graph._replace(poses=poses)
+        if bool(accept) and float(step) < cfg.tol:
+            converged = True
+            break
+        if not bool(accept) and float(lam) > 1e8:
+            break
+    return slv.SolveResult(graph=graph, chi2=chi,
                            n_iter=jnp.asarray(it, jnp.int32),
                            converged=jnp.asarray(converged))

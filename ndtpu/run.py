@@ -92,8 +92,8 @@ def main(argv=None):
     for t in range(start, t_total):
         rec = {"scan": t}
         with metrics.timer(rec, "step_s"):
-            state, out = pipeline.slam_step(state, points[t], mask[t],
-                                            odom[t], cfg)
+            state, out = pipeline.slam_step_jit(state, points[t], mask[t],
+                                                odom[t], cfg)
         outs.append(out)
         rec.update(score=float(out.score), is_kf=bool(out.is_keyframe),
                    loops=int(out.n_loops_new))

@@ -189,6 +189,12 @@ def slam_step(state: SlamState, pts, msk, odom_delta,
     return new_state, out
 
 
+#: Jit-compiled :func:`slam_step` (``cfg`` static). Use this for host-driven
+#: per-scan loops — checkpoint/resume drivers, online serving — where calling
+#: the un-jitted step would re-trace the whole graph every scan.
+slam_step_jit = jax.jit(slam_step, static_argnames="cfg")
+
+
 def run_slam(points, mask, odom, cfg: PipelineConfig, init_pose=None):
     """Full-sequence SLAM as one ``lax.scan`` (configs 2-3 entry point).
 

@@ -32,7 +32,7 @@ def test_save_restore_roundtrip(tmp_path):
     cfg = _cfg()
     state = pipeline.init_slam(cfg, seq.points[0], seq.mask[0])
     for t in range(1, 15):
-        state, _ = pipeline.slam_step(state, seq.points[t], seq.mask[t],
+        state, _ = pipeline.slam_step_jit(state, seq.points[t], seq.mask[t],
                                       seq.odom[t], cfg)
 
     p = str(tmp_path / "state.npz")
@@ -41,9 +41,9 @@ def test_save_restore_roundtrip(tmp_path):
 
     # Continue both to the end; trajectories must agree bit-for-bit.
     for t in range(15, 30):
-        state, _ = pipeline.slam_step(state, seq.points[t], seq.mask[t],
+        state, _ = pipeline.slam_step_jit(state, seq.points[t], seq.mask[t],
                                       seq.odom[t], cfg)
-        restored, _ = pipeline.slam_step(restored, seq.points[t], seq.mask[t],
+        restored, _ = pipeline.slam_step_jit(restored, seq.points[t], seq.mask[t],
                                          seq.odom[t], cfg)
     np.testing.assert_array_equal(np.asarray(state.pose),
                                   np.asarray(restored.pose))
