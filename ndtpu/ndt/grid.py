@@ -41,6 +41,8 @@ __all__ = [
     "lookup",
     "pack_map",
     "lookup_packed",
+    "pack_quad",
+    "lookup_quad",
 ]
 
 
@@ -235,3 +237,82 @@ def lookup(ndt_map: NDTMap, points: jax.Array, grid: GridConfig):
     ).reshape(ids.shape + (2, 2))
     valid = take(ndt_map.valid, ids, axis=1)
     return mean, icov, valid * inb.astype(points.dtype)
+
+
+def _quad_lattice(grid: GridConfig):
+    """Static half-cell lattice dims ``(wh, hh)`` for the quad table.
+
+    overlap=4: a ``(2nx+1) x (2ny+1)`` half-cell lattice (the +1 preserves
+    the half-cell margin where a point past the base grid's max edge still
+    falls inside the shifted grids). overlap=1: the cell lattice itself.
+    """
+    if grid.overlap == 4:
+        return 2 * grid.nx + 1, 2 * grid.ny + 1
+    return grid.nx, grid.ny
+
+
+def pack_quad(ndt_map: NDTMap, grid: GridConfig) -> jax.Array:
+    """Pack the Gaussian view into a half-cell quad table
+    ``[(2ny+1)*(2nx+1), G*8]`` (overlap=4) or ``[ny*nx, 8]`` (overlap=1).
+
+    Row layout per overlap grid g: ``[mu_x, mu_y, icov_00, icov_01, icov_11,
+    valid, 0, 0]``. One row holds the Gaussians of ALL overlap grids for a
+    half-cell, so the matcher's hot loop performs ONE gather per point
+    instead of one per (grid, point) — 4x fewer gather indices, and (the big
+    win) the gather's index array has no G extent, which keeps XLA's TPU
+    lowering on the fast vectorized-gather path (measured ~150x faster than
+    the per-grid formulation at B=256, N=720, 128x128 cells).
+
+    Derivation: with half-cell size ``h = cell/2`` and half-cell index
+    ``hx = floor((x - x0)/h)``, the cell of overlap grid g (origin shift
+    ``gx*h``) is ``(hx - gx) >> 1`` — so the per-grid lookup is a function
+    of the half-cell index alone and can be precomputed here, once per map,
+    amortized over all LM iterations and scans.
+    """
+    mean, icov, valid = ndt_map.mean, ndt_map.icov, ndt_map.valid
+    dt = mean.dtype
+    g_dim = valid.shape[0]
+    zeros = jnp.zeros_like(valid)
+    comp = jnp.stack(
+        [mean[..., 0], mean[..., 1], icov[..., 0, 0], icov[..., 0, 1],
+         icov[..., 1, 1], valid, zeros, zeros], axis=-1)   # [G, C, 8]
+    comp = comp.reshape(g_dim, grid.ny, grid.nx, 8)
+
+    if grid.overlap == 1:
+        return comp[0].reshape(grid.n_cells, 8)
+
+    wh, hh = _quad_lattice(grid)
+    shifts = ((0, 0), (1, 0), (0, 1), (1, 1))  # (gx, gy) per _grid_offsets
+    blocks = []
+    for g, (gx, gy) in enumerate(shifts):
+        up = jnp.repeat(jnp.repeat(comp[g], 2, axis=0), 2, axis=1)
+        # up[hy, hx] = comp[g, hy >> 1, hx >> 1]; grid g needs
+        # comp[g, (hy-gy) >> 1, (hx-gx) >> 1] on the (2ny+1, 2nx+1) lattice:
+        # pad gy rows / gx cols in front (those lattice slots fall outside
+        # grid g -> all-zero row, valid=0) and 1-gy / 1-gx at the back.
+        up = jnp.pad(up, ((gy, 1 - gy), (gx, 1 - gx), (0, 0)))
+        blocks.append(up)
+    table = jnp.concatenate(blocks, axis=-1)               # [hh, wh, 32]
+    return table.reshape(hh * wh, 8 * g_dim)
+
+
+def lookup_quad(table: jax.Array, x: jax.Array, y: jax.Array,
+                grid: GridConfig):
+    """Gather quad-table rows for world points given as separate ``x``/``y``
+    component arrays (any matching shape).
+
+    Returns ``(rows [..., G*8], inb [...])``. Keeping x/y as planes (rather
+    than a stacked ``[..., 2]``) lets XLA fuse the whole index computation
+    into the gather without layout churn on a minor dim of 2.
+    """
+    dt = x.dtype
+    wh, hh = _quad_lattice(grid)
+    inv = jnp.asarray((2.0 if grid.overlap == 4 else 1.0) / grid.cell, dt)
+    hx = jnp.floor((x - grid.x0) * inv)
+    hy = jnp.floor((y - grid.y0) * inv)
+    inb = (hx >= 0) & (hx < wh) & (hy >= 0) & (hy < hh)
+    # Combine in f32 (exact for lattices < 2^24 rows) -> ONE int cast+clip:
+    # this shape keeps the TPU gather on its fast path.
+    fid = hy * wh + hx
+    idx = jnp.clip(fid.astype(jnp.int32), 0, wh * hh - 1)
+    return table[idx], inb

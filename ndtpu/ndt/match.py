@@ -35,7 +35,8 @@ from ndtpu.config import GridConfig, MatchConfig
 from ndtpu.ndt.grid import NDTMap, lookup
 
 __all__ = ["MatchResult", "transform_terms", "point_terms",
-           "score_grad_hess", "lm_loop", "match", "match_batch"]
+           "point_terms_quad", "score_grad_hess", "lm_loop",
+           "lm_loop_batch", "match", "match_batch"]
 
 
 class MatchResult(NamedTuple):
@@ -241,14 +242,142 @@ def match(points, mask, ndt_map: NDTMap, init_pose, grid: GridConfig,
     return lm_loop(sgh, init_pose.astype(dt), cfg)
 
 
+def point_terms_quad(poses, x, y, dpx, dpy, rows, w_mask,
+                     cfg: MatchConfig, overlap: int):
+    """Batched NDT objective terms from quad-table rows (the TPU-fast path).
+
+    poses ``[B, 3]``; x/y/dpx/dpy ``[B, N]`` world points and their
+    phi-derivatives as separate planes; rows ``[B, N, G*8]`` gathered quad
+    rows (:func:`ndtpu.ndt.grid.lookup_quad`); w_mask ``[B, N]`` combined
+    in-bounds x scan-mask weight. All math is elementwise over ``[B, N]``
+    (N in lanes — no ``[..., 2, 2]`` minor dims, no G-extent in any gathered
+    index), with a static unrolled loop over the G overlap grids. Numerically
+    the same model as :func:`point_terms` (and the Pallas kernel), with
+    per-``B`` outputs. Returns ``(f [B], g [B,3], h [B,3,3], wsum [B],
+    w0sum [B])``.
+    """
+    dt = x.dtype
+    d2 = jnp.asarray(cfg.d2, dt)
+    tx, ty = poses[:, 0, None], poses[:, 1, None]
+    rx, ry = x - tx, y - ty                     # R(phi) p, reused per grid
+    acc = None
+    for g in range(overlap):
+        mx, my = rows[..., g * 8 + 0], rows[..., g * 8 + 1]
+        i00, i01 = rows[..., g * 8 + 2], rows[..., g * 8 + 3]
+        i11 = rows[..., g * 8 + 4]
+        w0 = rows[..., g * 8 + 5] * w_mask
+        dx, dy = x - mx, y - my
+        qx = i00 * dx + i01 * dy
+        qy = i01 * dx + i11 * dy
+        l2 = jnp.maximum(dx * qx + dy * qy, 0.0)
+        e = jnp.exp(-0.5 * d2 * jnp.minimum(l2, cfg.exp_clip))
+        w = w0 * e
+        a3 = qx * dpx + qy * dpy
+        ldx = i00 * dpx + i01 * dpy
+        ldy = i01 * dpx + i11 * dpy
+        j33 = dpx * ldx + dpy * ldy
+        hpp = -(qx * rx + qy * ry)
+        red = lambda t: jnp.sum(t, axis=-1)     # [B]
+        terms = (red(w), red(w0), red(w * qx), red(w * qy), red(w * a3),
+                 red(w * (i00 - d2 * qx * qx)),
+                 red(w * (i01 - d2 * qx * qy)),
+                 red(w * (ldx - d2 * qx * a3)),
+                 red(w * (i11 - d2 * qy * qy)),
+                 red(w * (ldy - d2 * qy * a3)),
+                 red(w * (j33 + hpp - d2 * a3 * a3)))
+        acc = terms if acc is None else tuple(a + t for a, t in zip(acc, terms))
+    (wsum, w0sum, g0, g1, g2, h00, h01, h02, h11, h12, h22) = acc
+    g_vec = d2 * jnp.stack([g0, g1, g2], axis=-1)
+    h = d2 * jnp.stack([
+        jnp.stack([h00, h01, h02], axis=-1),
+        jnp.stack([h01, h11, h12], axis=-1),
+        jnp.stack([h02, h12, h22], axis=-1),
+    ], axis=-2)
+    return -wsum, g_vec, h, wsum, w0sum
+
+
+def lm_loop_batch(sgh, init_poses, cfg: MatchConfig) -> MatchResult:
+    """Batched damped-Newton iteration: one ``lax.while_loop`` over the whole
+    batch with per-element masked accept/convergence.
+
+    ``sgh(poses [B,3]) -> (f [B], g [B,3], H [B,3,3], score [B])``. Runs
+    until every element is done (or the iteration cap); finished elements are
+    frozen by per-element masks, so the semantics match ``vmap``-of-
+    :func:`lm_loop` while compiling to ONE loop whose body is a fully
+    batched tensor program — this is where the scans/s/chip headline comes
+    from (SURVEY.md §4.2, BASELINE north star).
+    """
+    dt = init_poses.dtype
+    f0, g0, h0, s0 = sgh(init_poses)
+    b = init_poses.shape[0]
+
+    def cond(carry):
+        pose, f, g, h, score, lam, it, done, conv = carry
+        return jnp.any((it < cfg.max_iter) & jnp.logical_not(done))
+
+    def body(carry):
+        pose, f, g, h, score, lam, it, done, conv = carry
+        active = (it < cfg.max_iter) & jnp.logical_not(done)
+        delta = jax.vmap(_solve_damped, in_axes=(0, 0, 0, None))(h, g, lam, dt)
+        tn = jnp.sqrt(delta[:, 0] ** 2 + delta[:, 1] ** 2)
+        scale = jnp.where(tn > cfg.step_clip, cfg.step_clip / tn, 1.0)
+        delta = delta * scale[:, None]
+        pose_try = jnp.where(active[:, None], pose + delta, pose)
+        f2, g2, h2, s2 = sgh(pose_try)
+        accept = active & (f2 < f)
+        acc = accept[:, None]
+        pose_n = jnp.where(acc, pose_try, pose)
+        f_n = jnp.where(accept, f2, f)
+        g_n = jnp.where(acc, g2, g)
+        h_n = jnp.where(accept[:, None, None], h2, h)
+        s_n = jnp.where(accept, s2, score)
+        lam_n = jnp.where(
+            accept, jnp.maximum(lam / cfg.lambda_down, 1e-9),
+            jnp.where(active, lam * cfg.lambda_up, lam))
+        small = active & (jnp.sqrt(jnp.sum(delta * delta, -1)) < cfg.tol)
+        stuck = active & (lam_n > cfg.max_lambda)
+        return (pose_n, f_n, g_n, h_n, s_n, lam_n,
+                it + active.astype(jnp.int32), done | small | stuck,
+                conv | small)
+
+    lam0 = jnp.full((b,), cfg.init_lambda, dt)
+    zero_grad = jnp.sum(jnp.abs(g0), axis=-1) == 0.0
+    carry = (init_poses, f0, g0, h0, s0, lam0,
+             jnp.zeros((b,), jnp.int32), zero_grad, jnp.zeros((b,), bool))
+    pose, f, g, h, score, lam, it, done, conv = jax.lax.while_loop(
+        cond, body, carry)
+    return MatchResult(pose=pose, hessian=h, score=score, n_iter=it,
+                       converged=conv & (f < 0.0))
+
+
 def match_batch(points, mask, ndt_map: NDTMap, init_poses, grid: GridConfig,
                 cfg: MatchConfig) -> MatchResult:
     """B concurrent registrations against one shared map.
 
     points ``[B, N, 2]``, mask ``[B, N]``, init_poses ``[B, 3]``. This is the
     batched path used for loop-closure candidates and throughput benchmarks
-    (SURVEY.md §4.2 'batching over B concurrent registrations').
+    (SURVEY.md §4.2 'batching over B concurrent registrations'): ONE quad-
+    table row gather per point per LM iteration
+    (:func:`ndtpu.ndt.grid.pack_quad`) + one batched LM while-loop.
     """
-    return jax.vmap(match, in_axes=(0, 0, None, 0, None, None))(
-        points, mask, ndt_map, init_poses, grid, cfg
-    )
+    from ndtpu.ndt.grid import lookup_quad, pack_quad
+
+    table = pack_quad(ndt_map, grid)
+    dt = points.dtype
+    mask_f = mask.astype(dt)                                 # [B, N]
+    px, py = points[..., 0], points[..., 1]
+
+    def sgh(poses):
+        c = jnp.cos(poses[:, 2])[:, None]
+        s = jnp.sin(poses[:, 2])[:, None]
+        x = c * px - s * py + poses[:, 0, None]
+        y = s * px + c * py + poses[:, 1, None]
+        dpx = -s * px - c * py
+        dpy = c * px - s * py
+        rows, inb = lookup_quad(table, x, y, grid)
+        w_mask = mask_f * inb.astype(dt)
+        f, g, h, wsum, w0sum = point_terms_quad(
+            poses, x, y, dpx, dpy, rows, w_mask, cfg, grid.overlap)
+        return f, g, h, wsum / jnp.maximum(w0sum, 1.0)
+
+    return lm_loop_batch(sgh, init_poses.astype(dt), cfg)

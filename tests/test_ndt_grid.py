@@ -86,3 +86,53 @@ def test_lookup_gathers_correct_cells():
                                            om.mean[gi, ci], atol=1e-9)
             else:
                 assert w[gi, pi] == 0.0
+
+
+def test_quad_table_matches_reference_lookup():
+    """pack_quad/lookup_quad must reproduce lookup()'s per-grid Gaussians
+    (the quad table is a precomputed reindexing of the same map)."""
+    pts, mask = make_points(500, seed=11)
+    stats = g.build_stats(pts, mask, GRID)
+    m = g.finalize(stats, CFG)
+    table = g.pack_quad(m, GRID)
+
+    # Query points spread across the map including edges/margins.
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.uniform(-8.6, 8.6, (300, 2)), jnp.float64)
+    mean, icov, w = g.lookup(m, q, GRID)                  # [G, P, ...]
+    rows, inb = g.lookup_quad(table, q[:, 0], q[:, 1], GRID)  # [P, G*8]
+
+    for gi in range(GRID.overlap):
+        blk = np.asarray(rows[:, gi * 8: gi * 8 + 6])
+        w_ref = np.asarray(w[gi])
+        w_quad = blk[:, 5] * np.asarray(inb, float)
+        np.testing.assert_array_equal(w_quad, w_ref)
+        sel = w_ref > 0
+        np.testing.assert_allclose(blk[sel, 0], np.asarray(mean)[gi, sel, 0],
+                                   rtol=1e-12)
+        np.testing.assert_allclose(blk[sel, 1], np.asarray(mean)[gi, sel, 1],
+                                   rtol=1e-12)
+        np.testing.assert_allclose(blk[sel, 2],
+                                   np.asarray(icov)[gi, sel, 0, 0], rtol=1e-12)
+        np.testing.assert_allclose(blk[sel, 3],
+                                   np.asarray(icov)[gi, sel, 0, 1], rtol=1e-12)
+        np.testing.assert_allclose(blk[sel, 4],
+                                   np.asarray(icov)[gi, sel, 1, 1], rtol=1e-12)
+
+
+def test_quad_table_overlap1():
+    grid1 = GridConfig(x0=GRID.x0, y0=GRID.y0, cell=GRID.cell,
+                         nx=GRID.nx, ny=GRID.ny, overlap=1)
+    pts, mask = make_points(300, seed=12)
+    stats = g.build_stats(pts, mask, grid1)
+    m = g.finalize(stats, CFG)
+    table = g.pack_quad(m, grid1)
+    q = jnp.asarray(np.random.default_rng(5).uniform(-8.5, 8.5, (100, 2)),
+                    jnp.float64)
+    mean, icov, w = g.lookup(m, q, grid1)
+    rows, inb = g.lookup_quad(table, q[:, 0], q[:, 1], grid1)
+    np.testing.assert_array_equal(
+        np.asarray(rows[:, 5] * inb.astype(rows.dtype)), np.asarray(w[0]))
+    sel = np.asarray(w[0]) > 0
+    np.testing.assert_allclose(np.asarray(rows)[sel, 0],
+                               np.asarray(mean)[0, sel, 0], rtol=1e-12)
