@@ -40,15 +40,16 @@ def main():
     print(f"# edges: {n_edges}", file=sys.stderr)
     cfg = SolverConfig()
 
-    def timed(step, label, reps=5):
-        lin = fct.linearize(g)
+    def timed(step, label, reps=10):
+        # One LM iteration = relinearize + solve, as ONE compiled program
+        # (what a real optimizer loop dispatches per iteration).
+        full = jax.jit(lambda g_, lam: step(g_, fct.linearize(g_), lam))
         lam = jnp.asarray(1e-3, jnp.float32)
-        out = step(g, lin, lam)
+        out = full(g, lam)
         jax.block_until_ready(out)
         t0 = time.perf_counter()
         for _ in range(reps):
-            lin = fct.linearize(g)
-            out = step(g, lin, lam)
+            out = full(g, lam)
         jax.block_until_ready(out)
         ms = (time.perf_counter() - t0) / reps * 1e3
         print(json.dumps({"metric": f"solve_ms_per_iter_{label}",
@@ -57,22 +58,18 @@ def main():
         return ms
 
     # PCG (matrix-free).
-    pcg_step = jax.jit(lambda g_, lin, lam: slv.pcg(g_, lin, lam, cfg)[0])
-    timed(pcg_step, "pcg")
+    timed(lambda g_, lin, lam: slv.pcg(g_, lin, lam, cfg)[0], "pcg")
 
     # Supernodal partitioned Cholesky.
     plan = sn.plan_supernodal(g, n_shards)
     print(f"# supernodal: ni={plan.schur.ni}, ns={plan.schur.ns}, "
           f"fmax={plan.schur.fmax}", file=sys.stderr)
-    sn_step = jax.jit(
-        lambda g_, lin, lam: sn.supernodal_delta(g_, lin, plan, lam))
-    timed(sn_step, "supernodal")
+    timed(lambda g_, lin, lam: sn.supernodal_delta(g_, lin, plan, lam),
+          "supernodal")
 
     # Dense only when it fits comfortably.
     if n_poses <= 3000:
-        dense_step = jax.jit(
-            lambda g_, lin, lam: slv.solve_dense(g_, lin, lam))
-        timed(dense_step, "dense")
+        timed(lambda g_, lin, lam: slv.solve_dense(g_, lin, lam), "dense")
 
     # Relinearization throughput alone (config 4 names it explicitly).
     lin_fn = jax.jit(lambda g_: fct.linearize(g_))

@@ -5,10 +5,10 @@ GTSAM eliminates with a sequential multifrontal QR/Cholesky over a clique
 tree. The TPU-native re-engineering turns the same math into three MXU-shaped
 stages with NO sequential factor-level loop:
 
-1. **Partition** (host, once per topology): RCM-permute the poses (native
-   C++ ordering, ndtpu.native) so the Hessian is banded, then split into P
-   contiguous supernodes; poses touched by cross-supernode factors form the
-   separator (exactly the nested-dissection interface).
+1. **Partition** (host, once per topology): split the (optionally
+   RCM-permuted — ndtpu.native) pose order into P contiguous supernodes;
+   poses touched by cross-supernode factors form the separator (exactly the
+   nested-dissection interface).
 2. **Batched interior elimination** (device): all P supernode systems
    ``H_II^(s)`` are factorized in ONE batched Cholesky ``[P, ni3, ni3]`` and
    their Schur contributions are formed with batched triangular solves +
@@ -48,8 +48,16 @@ class SupernodalPlan(NamedTuple):
 
 
 def plan_supernodal(graph: fct.PoseGraph, n_shards: int,
-                    use_rcm: bool = True) -> SupernodalPlan:
-    """Host-side symbolic analysis: ordering + supernode partition."""
+                    use_rcm: bool = False) -> SupernodalPlan:
+    """Host-side symbolic analysis: ordering + supernode partition.
+
+    ``use_rcm=False`` by default: SLAM trajectories and Manhattan walks are
+    already near-banded in their natural (temporal) order, and contiguous
+    partitioning of that order gives the smallest separators (measured on
+    10k-pose Manhattan, P=64: natural ns=558 vs RCM ns=1766 — RCM's level-set
+    relabeling scatters loop endpoints across supernode boundaries). Enable
+    RCM for graphs whose natural order has no locality (e.g. shuffled g2o
+    files)."""
     bet_i = np.asarray(graph.bet_i)
     bet_j = np.asarray(graph.bet_j)
     bet_mask = np.asarray(graph.bet_mask)
@@ -77,45 +85,124 @@ def plan_supernodal(graph: fct.PoseGraph, n_shards: int,
     return SupernodalPlan(schur=plan, perm=np.asarray(perm), n_shards=n_shards)
 
 
-def _assemble_batched(plan: SchurPlan, ai, aj, r, ap, rp, dt):
-    """All P supernode systems in one vmapped scatter-add.
+def _assemble_parts(plan: SchurPlan, ai, aj, r, ap, rp, dt):
+    """Assemble the partitioned normal equations WITHOUT any per-shard
+    ``[m, m]`` dense structure.
 
-    Returns ``(h [P, m3, m3], b [P, m3])`` with the local variable space
-    ``[ni interior | ns separator]`` per supernode.
+    The previous formulation built ``[P, ni+ns, ni+ns, 3, 3]`` per shard —
+    quadratic in the GLOBAL separator count and catastrophic under TPU tile
+    padding of the trailing ``[3, 3]`` (a 10k-pose Manhattan graph at P=64
+    allocated 482 GB). Here every 3x3 factor block is routed by a flat
+    segment id into exactly one of three right-sized targets:
+
+    - ``h_ii [P, ni3, ni3]``  interior-interior (same shard by construction)
+    - ``h_is [P, ni3, ns3]``  interior-separator
+    - ``h_ss [ns3, ns3]``     separator-separator, assembled GLOBALLY once
+
+    plus ``b_i [P, ni3]`` / ``b_s [ns3]``. Everything is a handful of
+    ``segment_sum`` calls over the ~4F ordered endpoint pairs; mismatched
+    pair types go to a dead segment that is dropped.
     """
     ni, ns = plan.ni, plan.ns
-    m = ni + ns
+    p_dim, fmax = plan.fac_idx.shape
 
-    def one(fac_idx, fac_mask, i_role, i_loc, j_role, j_loc,
-            pri_idx, pri_mask, p_role, p_loc):
-        fa_i = ai[fac_idx] * fac_mask[:, None, None].astype(dt)
-        fa_j = aj[fac_idx] * fac_mask[:, None, None].astype(dt)
-        fr = r[fac_idx] * fac_mask[:, None].astype(dt)
-        col_i = jnp.where(i_role == 1, ni + i_loc, i_loc)
-        col_j = jnp.where(j_role == 1, ni + j_loc, j_loc)
-        pa = ap[pri_idx] * pri_mask[:, None, None].astype(dt)
-        pr = rp[pri_idx] * pri_mask[:, None].astype(dt)
-        col_p = jnp.where(p_role == 1, ni + p_loc, p_loc)
+    fac_idx = jnp.asarray(plan.fac_idx)
+    fac_mask = jnp.asarray(plan.fac_mask)
+    i_role = jnp.asarray(plan.i_role)
+    i_loc = jnp.asarray(plan.i_loc)
+    j_role = jnp.asarray(plan.j_role)
+    j_loc = jnp.asarray(plan.j_loc)
+    pri_idx = jnp.asarray(plan.pri_idx)
+    pri_mask = jnp.asarray(plan.pri_mask)
+    p_role = jnp.asarray(plan.p_role)
+    p_loc = jnp.asarray(plan.p_loc)
 
-        h = jnp.zeros((m, m, 3, 3), dt)
-        b = jnp.zeros((m, 3), dt)
-        h = h.at[col_i, col_i].add(jnp.einsum("fab,fac->fbc", fa_i, fa_i))
-        h = h.at[col_i, col_j].add(jnp.einsum("fab,fac->fbc", fa_i, fa_j))
-        h = h.at[col_j, col_i].add(jnp.einsum("fab,fac->fbc", fa_j, fa_i))
-        h = h.at[col_j, col_j].add(jnp.einsum("fab,fac->fbc", fa_j, fa_j))
-        h = h.at[col_p, col_p].add(jnp.einsum("fab,fac->fbc", pa, pa))
-        b = b.at[col_i].add(jnp.einsum("fab,fa->fb", fa_i, fr))
-        b = b.at[col_j].add(jnp.einsum("fab,fa->fb", fa_j, fr))
-        b = b.at[col_p].add(jnp.einsum("fab,fa->fb", pa, pr))
-        return (jnp.transpose(h, (0, 2, 1, 3)).reshape(3 * m, 3 * m),
-                b.reshape(-1))
+    fm = fac_mask.astype(dt)
+    fa_i = ai[fac_idx] * fm[..., None, None]          # [P, F, 3, 3]
+    fa_j = aj[fac_idx] * fm[..., None, None]
+    fr = r[fac_idx] * fm[..., None]                   # [P, F, 3]
+    pm = pri_mask.astype(dt)
+    pa = ap[pri_idx] * pm[..., None, None]            # [P, Q, 3, 3]
+    pr = rp[pri_idx] * pm[..., None]
 
-    return jax.vmap(one)(
-        jnp.asarray(plan.fac_idx), jnp.asarray(plan.fac_mask),
-        jnp.asarray(plan.i_role), jnp.asarray(plan.i_loc),
-        jnp.asarray(plan.j_role), jnp.asarray(plan.j_loc),
-        jnp.asarray(plan.pri_idx), jnp.asarray(plan.pri_mask),
-        jnp.asarray(plan.p_role), jnp.asarray(plan.p_loc))
+    shard = jnp.arange(p_dim, dtype=jnp.int32)[:, None]
+
+    # Ordered endpoint pairs (A, B) per factor: (i,i), (i,j), (j,i), (j,j)
+    # plus the prior's (p, p); block_AB = A^T B.
+    def pairs(role_a, loc_a, blk_a, role_b, loc_b, blk_b, valid):
+        blocks = jnp.einsum("pfab,pfac->pfbc", blk_a, blk_b)
+        return (role_a, loc_a, role_b, loc_b, blocks,
+                jnp.broadcast_to(shard, role_a.shape), valid)
+
+    plist = [
+        pairs(i_role, i_loc, fa_i, i_role, i_loc, fa_i, fac_mask),
+        pairs(i_role, i_loc, fa_i, j_role, j_loc, fa_j, fac_mask),
+        pairs(j_role, j_loc, fa_j, i_role, i_loc, fa_i, fac_mask),
+        pairs(j_role, j_loc, fa_j, j_role, j_loc, fa_j, fac_mask),
+        pairs(p_role, p_loc, pa, p_role, p_loc, pa, pri_mask),
+    ]
+    cat = lambda k: jnp.concatenate([jnp.reshape(p[k], (-1,) + p[k].shape[2:])
+                                     for p in plist])
+    ra, la, rb, lb = cat(0), cat(1), cat(2), cat(3)
+    blocks = cat(4).reshape(-1, 9)
+    shards = cat(5)
+    valid = cat(6)
+
+    seg = jax.ops.segment_sum
+    ii = (ra == 0) & (rb == 0) & valid
+    is_ = (ra == 0) & (rb == 1) & valid
+    ss = (ra == 1) & (rb == 1) & valid
+    n_ii, n_is, n_ss = p_dim * ni * ni * 9, p_dim * ni * ns * 9, ns * ns * 9
+    # Scalar-flat segment ids laid out so the segment_sum output IS the
+    # dense [..., 3R, 3C] matrix after a plain reshape: id = ((row*3 + a)
+    # * 3C) + col*3 + b. Scattering [K*9] scalars into a flat [n] target
+    # avoids the [n, 9]-shaped alternative whose trailing dim would be tile-
+    # padded 9 -> 128 on TPU (14x HBM traffic on a 200 MB h_is).
+    a_comp = jnp.arange(3, dtype=jnp.int32)[:, None]      # [3, 1]
+    b_comp = jnp.arange(3, dtype=jnp.int32)[None, :]      # [1, 3]
+
+    def flat_ids(row, col, n_cols, match):
+        base = jnp.where(match, row, -1)                  # [K]
+        ids = ((base[:, None, None] * 3 + a_comp) * (3 * n_cols)
+               + col[:, None, None] * 3 + b_comp)         # [K, 3, 3]
+        return jnp.where(match[:, None, None], ids, 2 ** 30).reshape(-1)
+
+    vals = blocks.reshape(-1)                             # [K*9]
+    blocks33 = blocks.reshape(-1, 3, 3)
+    ii_idx = flat_ids(shards * ni + la, lb, ni, ii)
+    is_idx = flat_ids(shards * ni + la, lb, ns, is_)
+    ss_idx = flat_ids(la, lb, ns, ss)
+    clip = lambda idx, n: jnp.where(idx < n, idx, n)
+    h_ii = seg(vals, clip(ii_idx, n_ii), num_segments=n_ii + 1)[:-1].reshape(
+        p_dim, 3 * ni, 3 * ni)
+    h_is = seg(vals, clip(is_idx, n_is), num_segments=n_is + 1)[:-1].reshape(
+        p_dim, 3 * ni, 3 * ns)
+    h_ss = seg(vals, clip(ss_idx, n_ss), num_segments=n_ss + 1)[:-1].reshape(
+        3 * ns, 3 * ns)
+
+    # Right-hand side: one entry per factor endpoint (A^T r).
+    def bvec(role_a, loc_a, blk_a, res, valid):
+        vec = jnp.einsum("pfab,pfa->pfb", blk_a, res)
+        return (role_a, loc_a, vec, jnp.broadcast_to(shard, role_a.shape),
+                valid)
+
+    blist = [
+        bvec(i_role, i_loc, fa_i, fr, fac_mask),
+        bvec(j_role, j_loc, fa_j, fr, fac_mask),
+        bvec(p_role, p_loc, pa, pr, pri_mask),
+    ]
+    catb = lambda k: jnp.concatenate(
+        [jnp.reshape(p[k], (-1,) + p[k].shape[2:]) for p in blist])
+    rb_a, lb_a, vecs, shards_b, valid_b = (catb(0), catb(1), catb(2),
+                                           catb(3), catb(4))
+    bi_idx = jnp.where((rb_a == 0) & valid_b, shards_b * ni + lb_a, p_dim * ni)
+    bs_idx = jnp.where((rb_a == 1) & valid_b, lb_a, ns)
+    b_i = seg(vecs, bi_idx, num_segments=p_dim * ni + 1)[:-1].reshape(
+        p_dim, ni, 3)
+    b_s = seg(vecs, bs_idx, num_segments=ns + 1)[:-1]
+
+    return (h_ii, h_is, h_ss,
+            b_i.reshape(p_dim, 3 * ni), b_s.reshape(3 * ns))
 
 
 def supernodal_delta(graph: fct.PoseGraph, lin, plan: SupernodalPlan, lam):
@@ -128,14 +215,8 @@ def supernodal_delta(graph: fct.PoseGraph, lin, plan: SupernodalPlan, lam):
     dt = ai.dtype
     sp = plan.schur
     v = graph.poses.shape[0]
-    ni3, ns3 = 3 * sp.ni, 3 * sp.ns
 
-    h, b = _assemble_batched(sp, ai, aj, r, ap, rp, dt)   # [P, m3, m3]
-    h_ii = h[:, :ni3, :ni3]
-    h_is = h[:, :ni3, ni3:]
-    h_ss = h[:, ni3:, ni3:]
-    b_i = b[:, :ni3]
-    b_s = b[:, ni3:]
+    h_ii, h_is, h_ss, b_i, b_s = _assemble_parts(sp, ai, aj, r, ap, rp, dt)
 
     int_mask = jnp.asarray(sp.int_mask)
     live_i = jnp.repeat(int_mask.astype(dt), 3, axis=1)          # [P, ni3]
@@ -144,12 +225,19 @@ def supernodal_delta(graph: fct.PoseGraph, lin, plan: SupernodalPlan, lam):
     h_ii = h_ii + jax.vmap(jnp.diag)(damp_i)
 
     l = jnp.linalg.cholesky(h_ii)                                # [P,ni3,ni3]
-    w = jax.scipy.linalg.cho_solve((l, True), h_is)              # batched
-    y = jax.scipy.linalg.cho_solve((l, True), b_i[..., None])[..., 0]
+    # Invert once (triangular solves against I, the narrow RHS) and apply by
+    # MXU matmuls: TPU triangular_solve is substitution-bound, so solving the
+    # wide [ni3, ns3] RHS directly is ~2x slower than inv + GEMM.
+    eye_i = jnp.broadcast_to(jnp.eye(h_ii.shape[-1], dtype=dt), h_ii.shape)
+    h_ii_inv = jax.scipy.linalg.cho_solve((l, True), eye_i)
+    w = h_ii_inv @ h_is                                          # [P,ni3,ns3]
+    y = jnp.einsum("pij,pj->pi", h_ii_inv, b_i)
 
-    s_tot = jnp.sum(h_ss - jnp.einsum("pij,pik->pjk", h_is, w), axis=0)
-    rhs_tot = jnp.sum(b_s - jnp.einsum("pij,pi->pj", h_is, y), axis=0)
-    diag_ss = jnp.sum(jnp.diagonal(h_ss, axis1=-2, axis2=-1), axis=0)
+    # One fused [ns3, ns3] contraction over all shards (P and ni3 contract
+    # together) — no per-shard [ns3, ns3] intermediates.
+    s_tot = h_ss - jnp.einsum("pij,pik->jk", h_is, w)
+    rhs_tot = b_s - jnp.einsum("pij,pi->j", h_is, y)
+    diag_ss = jnp.diagonal(h_ss)
 
     sep_mask = jnp.asarray(sp.sep_mask)
     live_s = jnp.repeat(sep_mask.astype(dt), 3)
