@@ -220,26 +220,15 @@ def match(points, mask, ndt_map: NDTMap, init_pose, grid: GridConfig,
           cfg: MatchConfig) -> MatchResult:
     """Register one scan against the map starting from ``init_pose`` ``[3]``.
 
-    The Gaussian view is packed once into a single ``[G, C, 8]`` table
-    (:func:`ndtpu.ndt.grid.pack_map`) so every LM iteration performs ONE
-    coalesced gather instead of three. ``vmap`` freely for batching — see
-    :func:`match_batch`.
+    Thin wrapper over the batched quad-table path (:func:`match_batch`) with
+    ``B = 1`` — the per-scan odometry/pipeline matcher and the batched
+    loop-closure matcher share one implementation and one compiled hot loop.
+    ``vmap`` freely (including over per-candidate maps — the quad pack and
+    gather batch cleanly).
     """
-    from ndtpu.ndt.grid import lookup_packed, pack_map
-
-    packed = pack_map(ndt_map)
-    dt = points.dtype
-    mask_f = mask.astype(dt)[None, :]
-
-    def sgh(pose):
-        xw, dxdphi = transform_terms(pose, points)
-        mean, icov, w0 = lookup_packed(packed, xw, grid)
-        w0 = w0 * mask_f
-        f, g, h, wsum, w0sum = point_terms(pose, xw, dxdphi, mean, icov, w0,
-                                           cfg)
-        return f, g, h, wsum / jnp.maximum(w0sum, 1.0)
-
-    return lm_loop(sgh, init_pose.astype(dt), cfg)
+    res = match_batch(points[None], mask[None], ndt_map, init_pose[None],
+                      grid, cfg)
+    return jax.tree_util.tree_map(lambda a: a[0], res)
 
 
 def point_terms_quad(poses, x, y, dpx, dpy, rows, w_mask,
