@@ -36,7 +36,8 @@ from ndtpu.graph import factors as fct
 from ndtpu.graph import solve as slv
 from ndtpu.lie import se2
 
-__all__ = ["SchurPlan", "plan_partition", "schur_delta", "optimize_schur"]
+__all__ = ["SchurPlan", "plan_partition", "assemble_local_parts",
+           "schur_delta", "optimize_schur"]
 
 INTERIOR, SEPARATOR = 0, 1
 
@@ -161,39 +162,77 @@ def plan_partition(bet_i: np.ndarray, bet_j: np.ndarray, bet_mask: np.ndarray,
     )
 
 
-def _assemble_local(plan: SchurPlan, ai, aj, r, ap, rp, s_fac_idx, s_fac_mask,
-                    s_i_role, s_i_loc, s_j_role, s_j_loc,
-                    s_pri_idx, s_pri_mask, s_p_role, s_p_loc, dt):
-    """One shard's H/b over its local variable space [NI interior | NS sep].
+def assemble_local_parts(ni, ns, ai, aj, r, ap, rp, s_fac_idx, s_fac_mask,
+                         s_i_role, s_i_loc, s_j_role, s_j_loc,
+                         s_pri_idx, s_pri_mask, s_p_role, s_p_loc, dt):
+    """One shard's normal-equation parts, with NO dense ``[ni+ns]^2`` local
+    matrix: every 3x3 factor block is routed by a flat scalar segment id into
+    the right-sized target (``h_ii [ni3, ni3]``, ``h_is [ni3, ns3]``, this
+    shard's ``h_ss``-contribution ``[ns3, ns3]``, ``b_i``, ``b_s``).
 
-    Column index of endpoint with (role, loc): interior -> loc, separator ->
-    NI + loc. Assembled with one scatter-add over 3x3 blocks.
+    The dense-local alternative is quadratic in the GLOBAL separator count
+    and tile-pads its trailing ``[3, 3]`` 14x — the same blowup fixed in
+    ndtpu.graph.supernodal for the single-chip batched path; this is the
+    per-device (shard_map) variant used by the distributed solve.
     """
-    ni, ns = plan.ni, plan.ns
-    m = ni + ns
+    fm = s_fac_mask.astype(dt)
+    fa_i = ai[s_fac_idx] * fm[:, None, None]                      # [F,3,3]
+    fa_j = aj[s_fac_idx] * fm[:, None, None]
+    fr = r[s_fac_idx] * fm[:, None]                               # [F,3]
+    pm = s_pri_mask.astype(dt)
+    pa = ap[s_pri_idx] * pm[:, None, None]
+    pr = rp[s_pri_idx] * pm[:, None]
 
-    fa_i = ai[s_fac_idx] * s_fac_mask[:, None, None].astype(dt)   # [F,3,3]
-    fa_j = aj[s_fac_idx] * s_fac_mask[:, None, None].astype(dt)
-    fr = r[s_fac_idx] * s_fac_mask[:, None].astype(dt)            # [F,3]
-    col_i = jnp.where(s_i_role == SEPARATOR, ni + s_i_loc, s_i_loc)
-    col_j = jnp.where(s_j_role == SEPARATOR, ni + s_j_loc, s_j_loc)
+    # Ordered endpoint pairs (A, B): (i,i), (i,j), (j,i), (j,j), (p,p).
+    ra = jnp.concatenate([s_i_role, s_i_role, s_j_role, s_j_role, s_p_role])
+    la = jnp.concatenate([s_i_loc, s_i_loc, s_j_loc, s_j_loc, s_p_loc])
+    rb = jnp.concatenate([s_i_role, s_j_role, s_i_role, s_j_role, s_p_role])
+    lb = jnp.concatenate([s_i_loc, s_j_loc, s_i_loc, s_j_loc, s_p_loc])
+    ga = jnp.concatenate([fa_i, fa_i, fa_j, fa_j, pa])
+    gb = jnp.concatenate([fa_i, fa_j, fa_i, fa_j, pa])
+    valid = jnp.concatenate([s_fac_mask] * 4 + [s_pri_mask])
+    blocks = jnp.einsum("fab,fac->fbc", ga, gb)                   # [K,3,3]
 
-    pa = ap[s_pri_idx] * s_pri_mask[:, None, None].astype(dt)
-    pr = rp[s_pri_idx] * s_pri_mask[:, None].astype(dt)
-    col_p = jnp.where(s_p_role == SEPARATOR, ni + s_p_loc, s_p_loc)
+    a_comp = jnp.arange(3, dtype=jnp.int32)[:, None]
+    b_comp = jnp.arange(3, dtype=jnp.int32)[None, :]
 
-    h = jnp.zeros((m, m, 3, 3), dt)
-    b = jnp.zeros((m, 3), dt)
-    h = h.at[col_i, col_i].add(jnp.einsum("fab,fac->fbc", fa_i, fa_i))
-    h = h.at[col_i, col_j].add(jnp.einsum("fab,fac->fbc", fa_i, fa_j))
-    h = h.at[col_j, col_i].add(jnp.einsum("fab,fac->fbc", fa_j, fa_i))
-    h = h.at[col_j, col_j].add(jnp.einsum("fab,fac->fbc", fa_j, fa_j))
-    h = h.at[col_p, col_p].add(jnp.einsum("fab,fac->fbc", pa, pa))
-    b = b.at[col_i].add(jnp.einsum("fab,fa->fb", fa_i, fr))
-    b = b.at[col_j].add(jnp.einsum("fab,fa->fb", fa_j, fr))
-    b = b.at[col_p].add(jnp.einsum("fab,fa->fb", pa, pr))
-    hd = jnp.transpose(h, (0, 2, 1, 3)).reshape(3 * m, 3 * m)
-    return hd, b.reshape(-1)
+    def flat_ids(row, col, n_cols, match):
+        ids = ((jnp.where(match, row, -1)[:, None, None] * 3 + a_comp)
+               * (3 * n_cols) + col[:, None, None] * 3 + b_comp)
+        return jnp.where(match[:, None, None], ids, 2 ** 30).reshape(-1)
+
+    seg = jax.ops.segment_sum
+    vals = blocks.reshape(-1)
+    ii = (ra == INTERIOR) & (rb == INTERIOR) & valid
+    is_ = (ra == INTERIOR) & (rb == SEPARATOR) & valid
+    ss = (ra == SEPARATOR) & (rb == SEPARATOR) & valid
+    n_ii, n_is, n_ss = ni * ni * 9, ni * ns * 9, ns * ns * 9
+    clip = lambda idx, n: jnp.where(idx < n, idx, n)
+    h_ii = seg(vals, clip(flat_ids(la, lb, ni, ii), n_ii),
+               num_segments=n_ii + 1)[:-1].reshape(3 * ni, 3 * ni)
+    h_is = seg(vals, clip(flat_ids(la, lb, ns, is_), n_is),
+               num_segments=n_is + 1)[:-1].reshape(3 * ni, 3 * ns)
+    h_ss = seg(vals, clip(flat_ids(la, lb, ns, ss), n_ss),
+               num_segments=n_ss + 1)[:-1].reshape(3 * ns, 3 * ns)
+
+    # Right-hand side entries A^T r per factor endpoint.
+    res = jnp.concatenate([fr, fr, pr])
+    rv = jnp.concatenate([s_i_role, s_j_role, s_p_role])
+    lv = jnp.concatenate([s_i_loc, s_j_loc, s_p_loc])
+    gv = jnp.concatenate([fa_i, fa_j, pa])
+    validv = jnp.concatenate([s_fac_mask, s_fac_mask, s_pri_mask])
+    vecs = jnp.einsum("fab,fa->fb", gv, res).reshape(-1)          # [K*3]
+    comp = jnp.arange(3, dtype=jnp.int32)[None, :]
+
+    def vec_ids(row, match, n_rows):
+        ids = jnp.where(match, row, -1)[:, None] * 3 + comp
+        return jnp.where(match[:, None], ids, 2 ** 30).reshape(-1)
+
+    b_i = seg(vecs, clip(vec_ids(lv, (rv == INTERIOR) & validv, ni),
+                         ni * 3), num_segments=ni * 3 + 1)[:-1]
+    b_s = seg(vecs, clip(vec_ids(lv, (rv == SEPARATOR) & validv, ns),
+                         ns * 3), num_segments=ns * 3 + 1)[:-1]
+    return h_ii, h_is, h_ss, b_i, b_s
 
 
 def schur_delta(mesh: Mesh, graph: fct.PoseGraph, lin, plan: SchurPlan, lam,
@@ -206,7 +245,7 @@ def schur_delta(mesh: Mesh, graph: fct.PoseGraph, lin, plan: SchurPlan, lam,
     (ai, aj, r), (ap, rp) = lin
     dt = ai.dtype
     v = graph.poses.shape[0]
-    ni3, ns3 = 3 * plan.ni, 3 * plan.ns
+
 
     dev_args = dict(
         fac_idx=jnp.asarray(plan.fac_idx), fac_mask=jnp.asarray(plan.fac_mask),
@@ -224,16 +263,10 @@ def schur_delta(mesh: Mesh, graph: fct.PoseGraph, lin, plan: SchurPlan, lam,
              j_loc, pri_idx, pri_mask, p_role, p_loc, int_global, int_mask):
         # shard_map gives the per-shard slice with a leading axis of 1.
         sq = lambda x: x[0]
-        h, b = _assemble_local(
-            plan, ai, aj, r, ap, rp, sq(fac_idx), sq(fac_mask), sq(i_role),
-            sq(i_loc), sq(j_role), sq(j_loc), sq(pri_idx), sq(pri_mask),
-            sq(p_role), sq(p_loc), dt)
-
-        h_ii = h[:ni3, :ni3]
-        h_is = h[:ni3, ni3:]
-        h_ss = h[ni3:, ni3:]
-        b_i = b[:ni3]
-        b_s = b[ni3:]
+        h_ii, h_is, h_ss, b_i, b_s = assemble_local_parts(
+            plan.ni, plan.ns, ai, aj, r, ap, rp, sq(fac_idx), sq(fac_mask),
+            sq(i_role), sq(i_loc), sq(j_role), sq(j_loc), sq(pri_idx),
+            sq(pri_mask), sq(p_role), sq(p_loc), dt)
 
         # Interior damping: LM-scaled |diag| + identity on dead slots.
         live_i = jnp.repeat(sq(int_mask).astype(dt), 3)
