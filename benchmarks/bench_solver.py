@@ -12,6 +12,11 @@ from __future__ import annotations
 
 import json
 import sys
+
+# Runnable as `python benchmarks/<name>.py` from the repo root:
+# the script dir (not cwd) lands on sys.path, so add the root.
+import os as _os
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import numpy as np

@@ -51,6 +51,7 @@ def add_keyframe(kf: KeyframeStore, pose, points, mask,
     ok = enabled & (kf.n < kf.capacity)
 
     def put(arr, val):
+        val = jnp.asarray(val, arr.dtype)
         return arr.at[slot].set(jnp.where(ok, val, arr[slot]))
 
     return KeyframeStore(
