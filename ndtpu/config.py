@@ -71,12 +71,28 @@ class MatchConfig:
 
     max_iter: int = 30
     tol: float = 1e-4           # convergence threshold on |delta|
+    # A REJECTED step below this norm also stops: near the optimum the full
+    # Newton step lands inside the objective's f32 noise basin and gets
+    # rejected over and over while lambda ramps up — measured ~8 wasted
+    # iterations per registration. A rejected sub-millimeter proposal means
+    # the quadratic model sees no improvement of that scale left. Kept a
+    # factor below tol*20: at 2e-3 it fires one iteration too early during
+    # coarse-hypothesis refinement (global_align) and can hand the win to a
+    # pi-flipped alias in symmetric rooms.
+    reject_tol: float = 1e-3
     d2: float = 0.5             # Magnusson exponent softening (0 < d2 <= 1):
                                 # score = exp(-d2/2 * mahalanobis^2); d2 < 1
                                 # shrinks the indefinite -a a^T Hessian term,
                                 # widening the convergence basin (Magnusson
                                 # 2009 d1/d2 parametrization)
-    init_lambda: float = 1e-3   # initial LM damping
+    # Far from the optimum the NDT Hessian is indefinite and the raw Newton
+    # step useless — every run starts by ramping lambda up from a small seed
+    # (measured ~5 rejected iterations). Starting in the damped regime and
+    # letting accepts decay lambda (/lambda_down per accept) is strictly
+    # cheaper: easy cases reach the Newton regime in ~2 accepts anyway.
+    # 1.0 (not 10) keeps the first accepted step large enough that odometry
+    # ATE and global-alignment basin capture don't degrade.
+    init_lambda: float = 1.0    # initial LM damping
     lambda_up: float = 10.0
     lambda_down: float = 3.0
     max_lambda: float = 1e6

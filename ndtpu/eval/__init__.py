@@ -1,1 +1,1 @@
-from ndtpu.eval import ate  # noqa: F401
+from ndtpu.eval import ate, render  # noqa: F401

@@ -1,0 +1,126 @@
+"""Map / trajectory rendering to PNG (SURVEY.md §6 "Metrics / logging /
+observability": "optional live map dump to PNG for eyeballing").
+
+The reference class of system eyeballs its map via stdout or external
+plotting; here the finalized NDT map renders directly: each valid cell's
+Gaussian is splatted as an anisotropic density blob (the exact quadratic
+form the matcher scores against), with optional trajectory overlays. Pure
+numpy + PIL — no device work, callable mid-run on checkpointed state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["rasterize_map", "render_map_png", "render_trajectories_png"]
+
+
+def rasterize_map(ndt_map, grid, upscale: int = 4) -> np.ndarray:
+    """Rasterize the NDT Gaussian mixture to an intensity image.
+
+    ndt_map: :class:`ndtpu.ndt.grid.NDTMap` (any overlap); grid:
+    :class:`GridConfig`. Returns ``[ny*upscale, nx*upscale]`` float image in
+    [0, 1], row 0 = min y (flip for display). Each valid cell contributes
+    ``exp(-1/2 d^T icov d)`` evaluated on the upscaled pixel lattice within
+    its 3x3-cell neighborhood — cheap and faithful to the matcher's model.
+    """
+    mean = np.asarray(ndt_map.mean, np.float64)      # [G, C, 2]
+    icov = np.asarray(ndt_map.icov, np.float64)      # [G, C, 2, 2]
+    valid = np.asarray(ndt_map.valid, np.float64)    # [G, C]
+    g_dim = mean.shape[0]
+    h, w = grid.ny * upscale, grid.nx * upscale
+    img = np.zeros((h, w), np.float64)
+    px_size = grid.cell / upscale
+
+    # Pixel-center world coordinates.
+    xs = grid.x0 + (np.arange(w) + 0.5) * px_size
+    ys = grid.y0 + (np.arange(h) + 0.5) * px_size
+
+    # Neighborhood stamp: for each valid cell, evaluate its Gaussian on a
+    # (3*upscale)^2 pixel patch centered on the cell. Vectorized over cells.
+    patch = 3 * upscale
+    off = (np.arange(patch) - patch / 2.0 + 0.5) * px_size  # patch offsets
+    oy, ox = np.meshgrid(off, off, indexing="ij")           # [patch, patch]
+
+    for g in range(g_dim):
+        live = np.nonzero(valid[g] > 0.5)[0]
+        if live.size == 0:
+            continue
+        mu = mean[g, live]                                   # [M, 2]
+        ic = icov[g, live]                                   # [M, 2, 2]
+        # Pixel index of each cell mean.
+        cx = np.clip(((mu[:, 0] - grid.x0) / px_size).astype(int), 0, w - 1)
+        cy = np.clip(((mu[:, 1] - grid.y0) / px_size).astype(int), 0, h - 1)
+        # World offset of each patch pixel from the mean (account for the
+        # mean not sitting exactly at a pixel center).
+        mx = xs[cx][:, None, None] + ox[None] - mu[:, 0, None, None]
+        my = ys[cy][:, None, None] + oy[None] - mu[:, 1, None, None]
+        q = (ic[:, 0, 0, None, None] * mx * mx
+             + 2.0 * ic[:, 0, 1, None, None] * mx * my
+             + ic[:, 1, 1, None, None] * my * my)
+        dens = np.exp(-0.5 * np.minimum(q, 40.0))            # [M, patch, patch]
+        half = patch // 2
+        for k in range(live.size):
+            y0p, x0p = cy[k] - half, cx[k] - half
+            ya, yb = max(y0p, 0), min(y0p + patch, h)
+            xa, xb = max(x0p, 0), min(x0p + patch, w)
+            if ya >= yb or xa >= xb:
+                continue
+            img[ya:yb, xa:xb] = np.maximum(
+                img[ya:yb, xa:xb],
+                dens[k, ya - y0p:yb - y0p, xa - x0p:xb - x0p])
+    return np.clip(img / max(g_dim / 2.0, 1.0) * g_dim, 0.0, 1.0)
+
+
+def _world_to_px(xy: np.ndarray, grid, upscale: int):
+    px_size = grid.cell / upscale
+    x = ((xy[:, 0] - grid.x0) / px_size).astype(int)
+    y = ((xy[:, 1] - grid.y0) / px_size).astype(int)
+    return x, y
+
+
+def render_map_png(ndt_map, grid, path: str, traj=None, upscale: int = 4,
+                   gt=None) -> None:
+    """Render the map (and optional trajectories) to a PNG file.
+
+    traj / gt: ``[T, >=2]`` pose arrays (estimated: orange, ground truth:
+    cyan). Image y-axis points up (row 0 = max y), matching world frame.
+    """
+    from PIL import Image
+
+    img = rasterize_map(ndt_map, grid, upscale)
+    h, w = img.shape
+    rgb = np.stack([(img * 255).astype(np.uint8)] * 3, axis=-1)
+
+    def draw(poses, color):
+        xy = np.asarray(poses)[:, :2]
+        x, y = _world_to_px(xy, grid, upscale)
+        ok = (x >= 0) & (x < w) & (y >= 0) & (y < h)
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                xs = np.clip(x[ok] + dx, 0, w - 1)
+                ys = np.clip(y[ok] + dy, 0, h - 1)
+                rgb[ys, xs] = color
+
+    if gt is not None:
+        draw(gt, (0, 200, 220))
+    if traj is not None:
+        draw(traj, (255, 140, 0))
+    Image.fromarray(rgb[::-1]).save(path)
+
+
+def render_trajectories_png(path: str, grid, upscale: int = 4, **named):
+    """Render named trajectories alone (no map) for quick ATE eyeballing:
+    ``render_trajectories_png("out.png", grid, est=poses, gt=gt_poses)``."""
+    from PIL import Image
+
+    h, w = grid.ny * upscale, grid.nx * upscale
+    rgb = np.zeros((h, w, 3), np.uint8)
+    palette = [(255, 140, 0), (0, 200, 220), (120, 255, 120), (255, 80, 200)]
+    for k, (name, poses) in enumerate(named.items()):
+        xy = np.asarray(poses)[:, :2]
+        x, y = _world_to_px(xy, grid, upscale)
+        ok = (x >= 0) & (x < w) & (y >= 0) & (y < h)
+        rgb[np.clip(y[ok], 0, h - 1), np.clip(x[ok], 0, w - 1)] = \
+            palette[k % len(palette)]
+    Image.fromarray(rgb[::-1]).save(path)

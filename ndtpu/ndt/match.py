@@ -199,7 +199,10 @@ def lm_loop(sgh, init_pose, cfg: MatchConfig) -> MatchResult:
         )
         # A sub-tolerance *proposed* step means the damped model sees no
         # useful motion left — the numerical optimum at this damping level.
-        small = jnp.sqrt(jnp.sum(delta * delta)) < cfg.tol
+        # A REJECTED step under reject_tol is the same signal one scale up:
+        # the model wants a tiny move and the objective can't resolve it.
+        dnorm = jnp.sqrt(jnp.sum(delta * delta))
+        small = (dnorm < cfg.tol) | (~accept & (dnorm < cfg.reject_tol))
         stuck = lam_n > cfg.max_lambda
         done_n = small | stuck
         return pose_n, f_n, g_n, h_n, s_n, lam_n, it + 1, done_n, small
@@ -323,7 +326,9 @@ def lm_loop_batch(sgh, init_poses, cfg: MatchConfig) -> MatchResult:
         lam_n = jnp.where(
             accept, jnp.maximum(lam / cfg.lambda_down, 1e-9),
             jnp.where(active, lam * cfg.lambda_up, lam))
-        small = active & (jnp.sqrt(jnp.sum(delta * delta, -1)) < cfg.tol)
+        dnorm = jnp.sqrt(jnp.sum(delta * delta, -1))
+        small = active & ((dnorm < cfg.tol)
+                          | (~accept & (dnorm < cfg.reject_tol)))
         stuck = active & (lam_n > cfg.max_lambda)
         return (pose_n, f_n, g_n, h_n, s_n, lam_n,
                 it + active.astype(jnp.int32), done | small | stuck,

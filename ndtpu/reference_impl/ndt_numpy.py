@@ -127,9 +127,11 @@ def _score_grad_hess(pose, points, mask, m: NumpyNDTMap, d2=0.5,
 
 
 def match(points, mask, m: NumpyNDTMap, init_pose, max_iter=30, tol=1e-4,
-          init_lambda=1e-3, lambda_up=10.0, lambda_down=3.0, max_lambda=1e6,
-          step_clip=2.0, d2=0.5):
-    """Levenberg-Marquardt NDT registration, mirroring ndtpu.ndt.match."""
+          init_lambda=1.0, lambda_up=10.0, lambda_down=3.0, max_lambda=1e6,
+          step_clip=2.0, d2=0.5, reject_tol=1e-3):
+    """Levenberg-Marquardt NDT registration, mirroring ndtpu.ndt.match
+    (including its iteration controls: damped start, rejected-small-step
+    stop — see MatchConfig)."""
     pose = np.asarray(init_pose, float).copy()
     f, g, h, score = _score_grad_hess(pose, points, mask, m, d2)
     lam = init_lambda
@@ -143,12 +145,14 @@ def match(points, mask, m: NumpyNDTMap, init_pose, max_iter=30, tol=1e-4,
         if tn > step_clip:
             delta *= step_clip / tn
         f2, g2, h2, s2 = _score_grad_hess(pose + delta, points, mask, m, d2)
-        if f2 < f:
+        accept = f2 < f
+        if accept:
             pose, f, g, h, score = pose + delta, f2, g2, h2, s2
             lam = max(lam / lambda_down, 1e-9)
         else:
             lam *= lambda_up
-        small = np.linalg.norm(delta) < tol
+        dnorm = np.linalg.norm(delta)
+        small = dnorm < tol or (not accept and dnorm < reject_tol)
         done = small or lam > max_lambda
         converged = small
         it += 1
@@ -207,9 +211,14 @@ def _score_grad_hess_vec(pose, points, mask, m: NumpyNDTMap, d2=0.5,
 
 
 def match_vectorized(points, mask, m: NumpyNDTMap, init_pose, max_iter=30,
-                     tol=1e-4, init_lambda=1e-3, lambda_up=10.0,
-                     lambda_down=3.0, max_lambda=1e6, step_clip=2.0, d2=0.5):
-    """LM registration with the vectorized objective (baseline of record)."""
+                     tol=1e-4, init_lambda=1.0, lambda_up=10.0,
+                     lambda_down=3.0, max_lambda=1e6, step_clip=2.0, d2=0.5,
+                     reject_tol=1e-3):
+    """LM registration with the vectorized objective (baseline of record).
+
+    Iteration controls match MatchConfig exactly (same damped start, same
+    rejected-small-step stop) so scans/s comparisons measure the per-
+    iteration compute, not differing stopping rules."""
     pose = np.asarray(init_pose, float).copy()
     f, g, h, score = _score_grad_hess_vec(pose, points, mask, m, d2)
     lam = init_lambda
@@ -224,12 +233,14 @@ def match_vectorized(points, mask, m: NumpyNDTMap, init_pose, max_iter=30,
             delta *= step_clip / tn
         f2, g2, h2, s2 = _score_grad_hess_vec(pose + delta, points, mask, m,
                                               d2)
-        if f2 < f:
+        accept = f2 < f
+        if accept:
             pose, f, g, h, score = pose + delta, f2, g2, h2, s2
             lam = max(lam / lambda_down, 1e-9)
         else:
             lam *= lambda_up
-        small = np.linalg.norm(delta) < tol
+        dnorm = np.linalg.norm(delta)
+        small = dnorm < tol or (not accept and dnorm < reject_tol)
         done = small or lam > max_lambda
         converged = small
         it += 1
