@@ -75,11 +75,14 @@ def main():
     spts, smsk = synth.polar_to_xy(r2, angles, 0.1, 40.0)
     init = scan_poses + jnp.asarray([0.2, -0.15, 0.04], spts.dtype)
 
-    fn = jax.jit(lambda p, m, i: ndt_match.match_batch(
-        p, m, ndt_map, i, grid, mcfg))
+    # The map is a runtime ARGUMENT, not a closure: closing over multi-MB
+    # device arrays embeds them as HLO constants, which this backend
+    # compiles pathologically slowly (~300s vs <5s, measured).
+    fn = jax.jit(lambda p, m, nm, i: ndt_match.match_batch(
+        p, m, nm, i, grid, mcfg))
 
     t0 = time.perf_counter()
-    out = fn(spts, smsk, init)
+    out = fn(spts, smsk, ndt_map, init)
     jax.block_until_ready(out.pose)
     t_compile = time.perf_counter() - t0
     conv = int(jnp.sum(out.converged))
@@ -89,7 +92,7 @@ def main():
     reps = 10
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fn(spts, smsk, init)
+        out = fn(spts, smsk, ndt_map, init)
     jax.block_until_ready(out.pose)
     dt = (time.perf_counter() - t0) / reps
     scans_per_s = batch / dt
