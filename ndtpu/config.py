@@ -75,11 +75,14 @@ class MatchConfig:
     # Newton step lands inside the objective's f32 noise basin and gets
     # rejected over and over while lambda ramps up — measured ~8 wasted
     # iterations per registration. A rejected sub-millimeter proposal means
-    # the quadratic model sees no improvement of that scale left. Kept a
-    # factor below tol*20: at 2e-3 it fires one iteration too early during
-    # coarse-hypothesis refinement (global_align) and can hand the win to a
-    # pi-flipped alias in symmetric rooms.
-    reject_tol: float = 1e-3
+    # the quadratic model sees no improvement of that scale left. At 3e-3
+    # the headline batch converges 256/256 with max iters 27 (vs 30) and
+    # mean 13.9 (vs 16.4) at identical pose error — and the while_loop cost
+    # is max-over-batch, so the tail is what the chip pays for. The one
+    # consumer that needs a finer setting is coarse-hypothesis alignment
+    # (global_align): an early stop there can hand the win to a pi-flipped
+    # alias in symmetric rooms, so it pins reject_tol=1e-3 explicitly.
+    reject_tol: float = 3e-3
     d2: float = 0.5             # Magnusson exponent softening (0 < d2 <= 1):
                                 # score = exp(-d2/2 * mahalanobis^2); d2 < 1
                                 # shrinks the indefinite -a a^T Hessian term,
@@ -155,6 +158,9 @@ class PipelineConfig:
     n_beams: int = 360
     max_range: float = 20.0
     min_range: float = 0.1
+    # Optional voxel-grid scan downsample (m); 0 disables. Applied as a mask
+    # reduction (ndtpu.data.preprocess.voxel_downsample) — shapes stay static.
+    downsample_voxel: float = 0.0
     use_loop_closure: bool = True
     seed: int = 0
 

@@ -16,8 +16,8 @@ from typing import NamedTuple
 
 import numpy as np
 
-__all__ = ["PoseGraphData", "read_g2o", "write_g2o", "manhattan_world",
-           "to_graph"]
+__all__ = ["PoseGraphData", "read_g2o", "read_toro", "write_g2o",
+           "manhattan_world", "to_graph"]
 
 
 class PoseGraphData(NamedTuple):
@@ -47,6 +47,40 @@ def read_g2o(path: str) -> PoseGraphData:
                 info = np.array([[u[0], u[1], u[2]],
                                  [u[1], u[3], u[4]],
                                  [u[2], u[4], u[5]]])
+                edges.append((i, j, z, info))
+    n = max(verts) + 1
+    poses = np.zeros((n, 3))
+    for k, v in verts.items():
+        poses[k] = v
+    ij = np.array([[e[0], e[1]] for e in edges], np.int32)
+    zz = np.array([e[2] for e in edges])
+    ii = np.stack([e[3] for e in edges])
+    return PoseGraphData(poses=poses, edges_ij=ij, edges_z=zz, edges_info=ii)
+
+
+def read_toro(path: str) -> PoseGraphData:
+    """Parse TORO-format 2D graphs (``VERTEX2`` / ``EDGE2`` lines).
+
+    Capability parity with GTSAM's ``dataset.cpp`` TORO loader (SURVEY.md
+    §3.2 "SLAM factor library"). TORO's six information entries are ordered
+    ``I00 I01 I11 I22 I02 I12`` — NOT the g2o upper-triangular row order.
+    """
+    verts, edges = {}, []
+    with open(path) as f:
+        for line in f:
+            tok = line.split()
+            if not tok:
+                continue
+            if tok[0] == "VERTEX2":
+                verts[int(tok[1])] = [float(tok[2]), float(tok[3]),
+                                      float(tok[4])]
+            elif tok[0] == "EDGE2":
+                i, j = int(tok[1]), int(tok[2])
+                z = [float(tok[3]), float(tok[4]), float(tok[5])]
+                u = [float(t) for t in tok[6:12]]
+                info = np.array([[u[0], u[1], u[4]],
+                                 [u[1], u[2], u[5]],
+                                 [u[4], u[5], u[3]]])
                 edges.append((i, j, z, info))
     n = max(verts) + 1
     poses = np.zeros((n, 3))

@@ -70,6 +70,12 @@ def main(argv=None):
 
     cfg = PipelineConfig.from_json(args.config)
     points, mask, odom, gt = _build_inputs(args, cfg)
+    if cfg.downsample_voxel > 0.0:
+        from ndtpu.data.preprocess import voxel_downsample
+        mask = jax.jit(voxel_downsample, static_argnums=2)(
+            points, mask, cfg.downsample_voxel)
+        print(f"[run] voxel downsample {cfg.downsample_voxel} m: "
+              f"{int(np.asarray(mask).sum())} points kept", file=sys.stderr)
     t_total = points.shape[0]
     print(f"[run] {t_total} scans x {points.shape[1]} beams; "
           f"loop_closure={cfg.use_loop_closure}", file=sys.stderr)

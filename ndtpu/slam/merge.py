@@ -65,13 +65,17 @@ def global_align(map_a: ndt_grid.NDTMap, grid_a: GridConfig, probe_points,
     aliases under environment symmetry (a square room matches itself at
     90-degree rotations until the fine basin disambiguates).
     """
-    mcfg = match_cfg or MatchConfig()
+    # Hypothesis testing needs the fine reject_tol: the throughput-tuned
+    # default (3e-3) can stop a refinement one iteration early and hand the
+    # win to a pi-flipped alias in symmetric rooms (see MatchConfig).
+    import dataclasses
+    mcfg = dataclasses.replace(match_cfg or MatchConfig(), reject_tol=1e-3)
     dtype = probe_points.dtype
     hyp = _hypothesis_grid(span, step, n_theta, dtype)             # [H, 3]
     h = hyp.shape[0]
 
     coarse_cfg = MatchConfig(
-        max_iter=coarse_iters, tol=mcfg.tol, d2=mcfg.d2,
+        max_iter=coarse_iters, tol=mcfg.tol, d2=mcfg.d2, reject_tol=1e-3,
         init_lambda=mcfg.init_lambda, step_clip=mcfg.step_clip)
     pts = jnp.broadcast_to(probe_points, (h,) + probe_points.shape)
     msk = jnp.broadcast_to(probe_mask, (h,) + probe_mask.shape)

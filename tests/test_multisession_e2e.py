@@ -55,8 +55,11 @@ def test_two_session_merge_end_to_end():
 
     # Align session B's base frame into A's map using B's first keyframe scan.
     map_a = ndt_grid.finalize(sa.stats, cfg.ndt)
+    # span must cover the true offset (|t_expected| ~ 7.4 m): with span=6
+    # the nearest hypothesis is >1 m away and success depends on coarse-LM
+    # drift winning a tie against the room's near-pi-symmetric alias.
     res = merge.global_align(map_a, cfg.grid, sb.kf.points[0],
-                             sb.kf.masks[0], span=6.0, step=1.0, n_theta=16)
+                             sb.kf.masks[0], span=8.0, step=1.0, n_theta=16)
     assert bool(res.converged)
     err = np.abs(np.asarray(se2.between(res.transform, t_expected)))
     assert err[0] < 0.3 and err[1] < 0.3 and err[2] < 0.15, (
