@@ -120,6 +120,7 @@ class LoopConfig:
     radius: float = 5.0         # candidate search radius (m)
     min_index_gap: int = 30     # min keyframe index separation
     max_candidates: int = 64    # static batch size of verifications per call
+    detect_every: int = 1       # run detection on every k-th keyframe only
     score_gate: float = 0.30    # min mean per-point NDT score to accept
     local_half_extent: float = 15.0  # half-size (m) of per-keyframe local map
     local_cell: float = 1.0
@@ -163,6 +164,20 @@ class PipelineConfig:
     downsample_voxel: float = 0.0
     use_loop_closure: bool = True
     seed: int = 0
+    # Window-batched front end (run_slam_windowed / run_odometry_windowed):
+    # W scans register in one batched LM dispatch against a per-window frozen
+    # map; 0 < passes re-registrations refine inits + refresh the map with
+    # the window's own keyframes (VERDICT r2 item 1).
+    window: int = 8
+    window_passes: int = 2
+    # Odometry innovation gate (m): a registration whose translation differs
+    # from its odometry-predicted init by more than this is rejected in favor
+    # of the prediction. NDT's matched-mass objective pulls scans at the map
+    # frontier back into map-dense territory (measured: a confident 1.8 m
+    # backward jump at a window edge); odometry disagreement is the cheap,
+    # reference-class gate against that. Loop-closure verification is NOT
+    # gated (loops legitimately correct large drift). 0 disables.
+    odom_gate: float = 1.0
 
     @staticmethod
     def from_json(path: str) -> "PipelineConfig":

@@ -29,6 +29,21 @@ class PoseGraphData(NamedTuple):
     edges_info: np.ndarray  # [E, 3, 3] information matrices
 
 
+def _assemble(path, verts, edges) -> "PoseGraphData":
+    if not verts:
+        raise ValueError(f"no vertex lines parsed from {path!r}")
+    if not edges:
+        raise ValueError(f"no edge lines parsed from {path!r}")
+    n = max(verts) + 1
+    poses = np.zeros((n, 3))
+    for k, v in verts.items():
+        poses[k] = v
+    ij = np.array([[e[0], e[1]] for e in edges], np.int32)
+    zz = np.array([e[2] for e in edges])
+    ii = np.stack([e[3] for e in edges])
+    return PoseGraphData(poses=poses, edges_ij=ij, edges_z=zz, edges_info=ii)
+
+
 def read_g2o(path: str) -> PoseGraphData:
     """Parse VERTEX_SE2 / EDGE_SE2 lines (the standard 2D g2o dialect)."""
     verts, edges = {}, []
@@ -48,14 +63,7 @@ def read_g2o(path: str) -> PoseGraphData:
                                  [u[1], u[3], u[4]],
                                  [u[2], u[4], u[5]]])
                 edges.append((i, j, z, info))
-    n = max(verts) + 1
-    poses = np.zeros((n, 3))
-    for k, v in verts.items():
-        poses[k] = v
-    ij = np.array([[e[0], e[1]] for e in edges], np.int32)
-    zz = np.array([e[2] for e in edges])
-    ii = np.stack([e[3] for e in edges])
-    return PoseGraphData(poses=poses, edges_ij=ij, edges_z=zz, edges_info=ii)
+    return _assemble(path, verts, edges)
 
 
 def read_toro(path: str) -> PoseGraphData:
@@ -82,14 +90,7 @@ def read_toro(path: str) -> PoseGraphData:
                                  [u[1], u[2], u[5]],
                                  [u[4], u[5], u[3]]])
                 edges.append((i, j, z, info))
-    n = max(verts) + 1
-    poses = np.zeros((n, 3))
-    for k, v in verts.items():
-        poses[k] = v
-    ij = np.array([[e[0], e[1]] for e in edges], np.int32)
-    zz = np.array([e[2] for e in edges])
-    ii = np.stack([e[3] for e in edges])
-    return PoseGraphData(poses=poses, edges_ij=ij, edges_z=zz, edges_info=ii)
+    return _assemble(path, verts, edges)
 
 
 def write_g2o(path: str, data: PoseGraphData) -> None:

@@ -35,7 +35,6 @@ def voxel_downsample(points, mask, voxel: float):
     q = jnp.clip(jnp.floor(points / voxel).astype(jnp.int32),
                  -_HALF, _HALF - 1)
     ids = (q[..., 0] + _HALF) * (2 * _HALF) + (q[..., 1] + _HALF)
-    n = ids.shape[-1]
     # Invalid points sort to the back under one shared sentinel; they can
     # never be chosen because the final mask re-ANDs with the input mask.
     sentinel = (2 * _HALF) * (2 * _HALF)

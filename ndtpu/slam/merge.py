@@ -57,6 +57,11 @@ def global_align(map_a: ndt_grid.NDTMap, grid_a: GridConfig, probe_points,
                  coarse_iters: int = 5, top_k: int = 64) -> AlignResult:
     """Find the pose of a probe scan (session B frame) in map A.
 
+    Note: ``match_cfg.reject_tol`` is always overridden to 1e-3 here — the
+    throughput-tuned default (3e-3) can stop a refinement one iteration
+    early and hand the win to a pi-flipped alias in symmetric rooms; a
+    caller-supplied value for that one field is intentionally ignored.
+
     probe_points ``[N, 2]``: a representative scan of session B expressed in
     B's base frame (e.g. keyframe 0's scan). All ``H = (2*span/step+1)^2 *
     n_theta`` hypotheses run a short coarse LM in one batch; the ``top_k``

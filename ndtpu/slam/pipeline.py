@@ -33,7 +33,7 @@ from ndtpu.ndt import match as ndt_match
 from ndtpu.slam import keyframes as kfs
 
 __all__ = ["SlamState", "SlamStepOut", "init_slam", "slam_step", "run_slam",
-           "recover_trajectory"]
+           "run_slam_windowed", "recover_trajectory"]
 
 
 class SlamState(NamedTuple):
@@ -161,8 +161,10 @@ def slam_step(state: SlamState, pts, msk, odom_delta,
     init = se2.compose(state.pose, odom_delta)
     ndt_map = ndt_grid.finalize(state.stats, cfg.ndt)
     res = ndt_match.match(pts, msk, ndt_map, init, cfg.grid, cfg.match)
-    # Fall back to the odometry prediction if registration failed outright.
-    pose = jnp.where(res.converged, res.pose, init)
+    # Fall back to the odometry prediction if registration failed outright
+    # or disagrees with it beyond the innovation gate.
+    from ndtpu.slam.odometry import gate_poses
+    pose, _ = gate_poses(res.pose, res.converged, init, cfg.odom_gate)
 
     last_kf_pose = state.graph.poses[state.last_kf_idx]
     diff = se2.between(last_kf_pose, pose)
@@ -208,6 +210,208 @@ def run_slam(points, mask, odom, cfg: PipelineConfig, init_pose=None):
         return slam_step(state, pts, msk, delta, cfg)
 
     return jax.lax.scan(step, state0, (points[1:], mask[1:], odom[1:]))
+
+
+def _window_frontend(state: SlamState, last_kf_reg, pts, msk, deltas,
+                     cfg: PipelineConfig, passes: int):
+    """Batched registration of one window against the (refreshed) map.
+
+    Returns ``(poses [W,3], MatchResult, is_kf [W])`` — see
+    :func:`ndtpu.slam.odometry.run_odometry_windowed` for the pass/refresh
+    rationale (map staleness costs ~4x ATE beyond W=4 without it).
+    """
+    from ndtpu.slam.odometry import chain_deltas, gate_poses
+
+    def kf_flags(lk, poses):
+        def kf_step(lk, p):
+            diff = se2.between(lk, p)
+            is_kf = (jnp.sqrt(diff[0] ** 2 + diff[1] ** 2)
+                     > cfg.keyframe.dist_thresh) | (
+                jnp.abs(diff[2]) > cfg.keyframe.angle_thresh)
+            return jnp.where(is_kf, p, lk), is_kf
+        return jax.lax.scan(kf_step, lk, poses)
+
+    table = ndt_grid.pack_quad(ndt_grid.finalize(state.stats, cfg.ndt),
+                               cfg.grid)
+    inits = chain_deltas(state.pose, deltas)
+    res = ndt_match.match_batch_packed(pts, msk, table, inits, cfg.grid,
+                                       cfg.match)
+    poses, _ = gate_poses(res.pose, res.converged, inits, cfg.odom_gate)
+    for _ in range(max(0, passes - 1)):
+        _, kf_prev = kf_flags(last_kf_reg, poses)
+        tmp = ndt_grid.add_points(
+            state.stats, se2.transform(poses, pts).reshape(-1, 2),
+            (msk & kf_prev[:, None]).reshape(-1), cfg.grid)
+        table = ndt_grid.pack_quad(ndt_grid.finalize(tmp, cfg.ndt), cfg.grid)
+        prev = jnp.concatenate([state.pose[None], poses[:-1]], axis=0)
+        inits2 = se2.compose(prev, deltas)
+        res = ndt_match.match_batch_packed(pts, msk, table, inits2, cfg.grid,
+                                           cfg.match)
+        poses, _ = gate_poses(res.pose, res.converged, inits2, cfg.odom_gate)
+    _, is_kf = kf_flags(last_kf_reg, poses)
+    return poses, res, is_kf
+
+
+def _window_backend(state: SlamState, last_kf_reg, poses, hessians, pts, msk,
+                    is_kf, cfg: PipelineConfig):
+    """Graph/keyframe/loop work for one registered window (in-graph).
+
+    A ``fori_loop`` over the window's scans appends keyframes in order
+    (graph topology is inherently sequential); each new keyframe's odometry
+    measurement is taken between REGISTRATION-TIME poses (so smoothing
+    shifts never pollute relative measurements) while its node value is
+    anchored on the smoothed parent. Loop detection runs per keyframe
+    (every ``cfg.loop.detect_every``-th); smoothing runs ONCE per window.
+
+    Returns ``(new_state, last_kf_reg, kf_idx [W], rel [W,3],
+    n_loops_new [W])``.
+    """
+    dt = poses.dtype
+    w = poses.shape[0]
+
+    def body(i, acc):
+        graph, kf, last_idx, lkr, kf_idx_out, rel_out, nl_out = acc
+
+        def kf_branch(op):
+            graph, kf, last_idx, lkr = op
+            pose_i = poses[i]
+            new_idx = graph.n_poses
+            z_odo = se2.between(lkr, pose_i)
+            node_init = se2.compose(graph.poses[last_idx], z_odo)
+            graph = fct.add_pose(graph, node_init)
+            graph = fct.add_between(graph, last_idx, new_idx, z_odo,
+                                    _odom_info_sqrt(hessians[i], dt))
+            kf = kfs.add_keyframe(kf, node_init, pts[i], msk[i])
+
+            if cfg.use_loop_closure:
+                do_detect = (new_idx % cfg.loop.detect_every) == 0
+
+                def detect(op):
+                    graph, kf = op
+                    loops = closure.detect_loops(
+                        kf, pts[i], msk[i], node_init, new_idx, cfg.loop,
+                        cfg.ndt, cfg.match)
+
+                    def append(c, g):
+                        return fct.add_between(
+                            g, loops.j[c], new_idx, loops.z[c],
+                            loops.sqrt_info[c], enabled=loops.accept[c])
+
+                    graph = jax.lax.fori_loop(0, cfg.loop.max_candidates,
+                                              append, graph)
+                    return graph, jnp.sum(loops.accept, dtype=jnp.int32)
+
+                graph, n_new = jax.lax.cond(
+                    do_detect, detect,
+                    lambda op: (op[0], jnp.asarray(0, jnp.int32)),
+                    (graph, kf))
+            else:
+                n_new = jnp.asarray(0, jnp.int32)
+            return graph, kf, new_idx, pose_i, n_new
+
+        def no_kf(op):
+            graph, kf, last_idx, lkr = op
+            return graph, kf, last_idx, lkr, jnp.asarray(0, jnp.int32)
+
+        graph, kf, last_idx, lkr, n_new = jax.lax.cond(
+            is_kf[i], kf_branch, no_kf, (graph, kf, last_idx, lkr))
+
+        kf_idx_out = kf_idx_out.at[i].set(last_idx)
+        rel_out = rel_out.at[i].set(se2.between(lkr, poses[i]))
+        nl_out = nl_out.at[i].set(n_new)
+        return graph, kf, last_idx, lkr, kf_idx_out, rel_out, nl_out
+
+    acc0 = (state.graph, state.kf, state.last_kf_idx, last_kf_reg,
+            jnp.zeros((w,), jnp.int32), jnp.zeros((w, 3), dt),
+            jnp.zeros((w,), jnp.int32))
+    graph, kf, last_idx, lkr, kf_idx_out, rel_out, nl_out = jax.lax.fori_loop(
+        0, w, body, acc0)
+
+    # One smoothing pass per window (iSAM2-update cadence at window grain).
+    any_kf = jnp.any(is_kf)
+    sm = inc.SmootherState(graph=graph, lam=state.sm_lam,
+                           last_max_delta=state.sm_last_delta,
+                           step=jnp.asarray(0, jnp.int32))
+    sm = jax.lax.cond(
+        any_kf, lambda s: inc.incremental_update(s, cfg.solver), lambda s: s,
+        sm)
+    graph = sm.graph
+    kf = kf._replace(poses=graph.poses[: kf.capacity])
+
+    # Map maintenance: loop accepted -> rebuild from all keyframes at their
+    # smoothed poses; else extend with this window's keyframe scans.
+    n_loops_new = jnp.sum(nl_out, dtype=jnp.int32)
+
+    def rebuild(_):
+        world = se2.transform(kf.poses, kf.points)
+        m = kf.masks & kf.live[:, None]
+        return ndt_grid.build_stats(world.reshape(-1, 2), m.reshape(-1),
+                                    cfg.grid)
+
+    def extend(_):
+        wpts = se2.transform(poses, pts)
+        return ndt_grid.add_points(state.stats, wpts.reshape(-1, 2),
+                                   (msk & is_kf[:, None]).reshape(-1),
+                                   cfg.grid)
+
+    stats = jax.lax.cond(n_loops_new > 0, rebuild, extend, None)
+
+    # Current estimate: smoothed latest keyframe + registration-time offset.
+    pose_out = se2.compose(graph.poses[last_idx], se2.between(lkr, poses[-1]))
+
+    new_state = SlamState(
+        stats=stats, kf=kf, graph=graph, sm_lam=sm.lam,
+        sm_last_delta=sm.last_max_delta, pose=pose_out,
+        last_kf_idx=last_idx, n_loops=state.n_loops + n_loops_new,
+    )
+    return new_state, lkr, kf_idx_out, rel_out, nl_out
+
+
+def run_slam_windowed(points, mask, odom, cfg: PipelineConfig,
+                      init_pose=None):
+    """Window-batched full SLAM (configs 2-3, the TPU-fast entry point).
+
+    Same capability as :func:`run_slam` — odometry, keyframing, loop
+    closure, incremental smoothing, online map — restructured so the chip
+    sees W-wide batched registrations instead of single scans
+    (VERDICT r2 item 1: the per-scan path was latency-bound at ~26 scans/s).
+    Registration happens in :func:`_window_frontend` (one/two batched LM
+    dispatches per window), graph work in :func:`_window_backend`.
+
+    Returns ``(final SlamState, SlamStepOut stacked over T-1 scans)`` —
+    interchangeable with :func:`run_slam` for ATE evaluation via
+    :func:`recover_trajectory`.
+    """
+    from ndtpu.slam.odometry import _pad_to_windows
+
+    state0 = init_slam(cfg, points[0], mask[0], init_pose)
+    w = cfg.window
+
+    pts_w, msk_w, odo_w, n_win, _ = _pad_to_windows(
+        points[1:], mask[1:], odom[1:], w)
+    pts_w = pts_w.reshape(n_win, w, *pts_w.shape[1:])
+    msk_w = msk_w.reshape(n_win, w, *msk_w.shape[1:])
+    odo_w = odo_w.reshape(n_win, w, 3)
+
+    def wstep(carry, inp):
+        state, last_kf_reg = carry
+        pts, msk, deltas = inp
+        poses, res, is_kf = _window_frontend(state, last_kf_reg, pts, msk,
+                                             deltas, cfg, cfg.window_passes)
+        state, last_kf_reg, kf_idx, rel, nl = _window_backend(
+            state, last_kf_reg, poses, res.hessian, pts, msk, is_kf, cfg)
+        out = SlamStepOut(pose=poses, kf_idx=kf_idx, rel=rel,
+                          score=res.score, is_keyframe=is_kf,
+                          n_loops_new=nl)
+        return (state, last_kf_reg), out
+
+    carry0 = (state0, state0.pose)
+    (state, _), outs = jax.lax.scan(wstep, carry0, (pts_w, msk_w, odo_w))
+
+    t_steps = points.shape[0] - 1
+    outs = jax.tree_util.tree_map(
+        lambda a: a.reshape((n_win * w,) + a.shape[2:])[:t_steps], outs)
+    return state, outs
 
 
 def recover_trajectory(state: SlamState, outs: SlamStepOut, init_pose=None):

@@ -49,6 +49,35 @@ def test_pipeline_closes_loops_and_beats_odometry(loop_sequence):
     assert not bool(jnp.any(jnp.isnan(traj)))
 
 
+def test_windowed_pipeline_matches_sequential(loop_sequence):
+    """run_slam_windowed (VERDICT r2 item 1) reproduces the sequential
+    pipeline's quality: loops fire, ATE comparable, trajectory finite."""
+    seq = loop_sequence
+    cfg = _cfg(True)
+    st_s, outs_s = pipeline.run_slam(seq.points, seq.mask, seq.odom, cfg)
+    ate_s = float(ate_rmse(pipeline.recover_trajectory(st_s, outs_s),
+                           seq.gt_poses))
+    st_w, outs_w = pipeline.run_slam_windowed(seq.points, seq.mask, seq.odom,
+                                              cfg)
+    traj_w = pipeline.recover_trajectory(st_w, outs_w)
+    ate_w = float(ate_rmse(traj_w, seq.gt_poses))
+    assert int(st_w.n_loops) > 0, "windowed pipeline closed no loops"
+    assert ate_w < max(1.5 * ate_s, 0.25), (ate_w, ate_s)
+    assert not bool(jnp.any(jnp.isnan(traj_w)))
+    assert traj_w.shape == (seq.points.shape[0], 3)
+    # Keyframe graph grew to a comparable size.
+    assert abs(int(st_w.graph.n_poses) - int(st_s.graph.n_poses)) <= 8
+
+
+def test_windowed_pipeline_no_loops(loop_sequence):
+    seq = loop_sequence
+    cfg = _cfg(False)
+    st, outs = pipeline.run_slam_windowed(seq.points, seq.mask, seq.odom, cfg)
+    assert int(st.n_loops) == 0
+    traj = pipeline.recover_trajectory(st, outs)
+    assert float(ate_rmse(traj, seq.gt_poses)) < 0.6
+
+
 def test_pipeline_no_loops_matches_odometry_mode(loop_sequence):
     seq = loop_sequence
     cfg = _cfg(False)
