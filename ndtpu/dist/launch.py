@@ -1,0 +1,152 @@
+"""Multi-process (multi-host) bring-up: ``jax.distributed`` + local rehearsal.
+
+Capability parity (SURVEY.md §8 Phase E "jax.distributed bring-up", BASELINE
+config 5 "across >=2 hosts"): the reference is single-process; distribution
+is new capability expressed the JAX-native way — one ``initialize()`` per
+process, a process-spanning ``Mesh``, and XLA collectives. No hand-rolled
+transport.
+
+Three entry points:
+
+- :func:`initialize` — per-process bring-up (env-var driven on real pods:
+  each host calls it before touching any device).
+- :func:`launch_local` — spawn N single-device CPU worker processes on THIS
+  machine (coordinator on localhost) running :func:`worker_main`; the
+  honest rehearsal of the >=2-host path that a single-host environment
+  allows (tests/test_launch.py runs it).
+- ``python -m ndtpu.dist.launch --num-processes N --process-id I ...`` —
+  one worker: initialize, build the process-spanning mesh, run the
+  distributed Schur-complement pose-graph solve (config 5's solve), report
+  chi^2 before/after as JSON.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """Per-process ``jax.distributed.initialize`` with env fallbacks.
+
+    No-op when ``num_processes`` resolves to 1 (single-process runs and
+    tests stay unchanged). Must be called before any device is touched.
+    Env fallbacks: ``NDTPU_COORDINATOR`` / ``NDTPU_NUM_PROCESSES`` /
+    ``NDTPU_PROCESS_ID`` (pod launchers export per-host values).
+    """
+    coordinator_address = coordinator_address or os.environ.get(
+        "NDTPU_COORDINATOR")
+    if num_processes is None:
+        num_processes = int(os.environ.get("NDTPU_NUM_PROCESSES", "1"))
+    if process_id is None:
+        process_id = int(os.environ.get("NDTPU_PROCESS_ID", "0"))
+    if num_processes <= 1:
+        return
+    import jax
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def shutdown() -> None:
+    import jax
+    jax.distributed.shutdown()
+
+
+def worker_main(argv=None) -> None:
+    """One worker of the distributed Schur rehearsal (see module docstring)."""
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--coordinator", default="localhost:29511")
+    ap.add_argument("--num-processes", type=int, required=True)
+    ap.add_argument("--process-id", type=int, required=True)
+    ap.add_argument("--n-poses", type=int, default=120)
+    ap.add_argument("--out", default="")
+    args = ap.parse_args(argv)
+
+    initialize(args.coordinator, args.num_processes, args.process_id)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ndtpu.config import SolverConfig
+    from ndtpu.data import g2o
+    from ndtpu.dist import mesh as dmesh
+    from ndtpu.dist import schur
+    from ndtpu.graph import factors as fct
+
+    n_dev = len(jax.devices())
+    assert n_dev >= args.num_processes, (n_dev, args.num_processes)
+    mesh = dmesh.multihost_mesh("space")
+
+    # Identical problem on every process (same seed -> same host arrays).
+    data = g2o.manhattan_world(args.n_poses, seed=0, loop_prob=0.2)
+    g = g2o.to_graph(data, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    g = g._replace(poses=g.poses + jnp.asarray(
+        rng.normal(0, 0.05, g.poses.shape), jnp.float32))
+    plan = schur.plan_partition(
+        np.asarray(g.bet_i), np.asarray(g.bet_j), np.asarray(g.bet_mask),
+        np.asarray(g.prior_idx), np.asarray(g.prior_mask),
+        int(g.poses.shape[0]), n_shards=n_dev)
+
+    chi0 = float(fct.chi2(g))
+    res = schur.optimize_schur(mesh, g, plan, SolverConfig(max_iter=10))
+    chi1 = float(fct.chi2(res.graph))
+
+    if args.process_id == 0:
+        rec = {"num_processes": args.num_processes, "n_devices": n_dev,
+               "n_poses": args.n_poses, "chi2_before": chi0,
+               "chi2_after": chi1, "iters": int(res.n_iter)}
+        line = json.dumps(rec)
+        print(line, flush=True)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(line)
+    shutdown()
+
+
+def launch_local(num_processes: int = 2, n_poses: int = 120,
+                 timeout_s: float = 600.0, port: int = 29511) -> dict:
+    """Spawn N local CPU worker processes and return process 0's report.
+
+    Each worker is a fresh interpreter with the TPU sitecustomize stripped
+    and ``JAX_PLATFORMS=cpu`` (one CPU device per process) — the same code
+    path a real >=2-host launch takes, minus the network fabric.
+    """
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    env = dict(os.environ)
+    pp = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+          if p and "axon" not in p]
+    env["PYTHONPATH"] = os.pathsep.join([repo] + pp)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)          # exactly one device per process
+    out_path = os.path.join("/tmp", f"ndtpu_launch_{os.getpid()}.json")
+    procs = []
+    for pid in range(num_processes):
+        cmd = [sys.executable, "-m", "ndtpu.dist.launch",
+               "--coordinator", f"localhost:{port}",
+               "--num-processes", str(num_processes),
+               "--process-id", str(pid), "--n-poses", str(n_poses)]
+        if pid == 0:
+            cmd += ["--out", out_path]
+        procs.append(subprocess.Popen(cmd, env=env, cwd=repo,
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.PIPE, text=True))
+    outs = [p.communicate(timeout=timeout_s) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        if p.returncode != 0:
+            raise RuntimeError(
+                f"worker {p.args} failed rc={p.returncode}\n{so}\n{se}")
+    with open(out_path) as f:
+        return json.load(f)
+
+
+if __name__ == "__main__":
+    worker_main()

@@ -18,6 +18,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ndtpu.config import GridConfig, KeyframeConfig, MatchConfig, NDTMapConfig
 from ndtpu.lie import se2
@@ -100,12 +101,59 @@ def gate_poses(res_pose, converged, inits, gate: float):
 
 def chain_deltas(pose0, deltas):
     """Dead-reckoned absolute poses ``[W, 3]`` from ``pose0`` and relative
-    deltas ``[W, 3]`` (pose_i = pose0 ∘ delta_1 ∘ ... ∘ delta_i)."""
-    def step(p, d):
-        p = se2.compose(p, d)
-        return p, p
-    _, poses = jax.lax.scan(step, pose0, deltas)
-    return poses
+    deltas ``[W, 3]`` (pose_i = pose0 ∘ delta_1 ∘ ... ∘ delta_i).
+
+    Closed form — two ``cumsum``s, no sequential scan: heading is a prefix
+    sum of delta angles, and each delta's translation is rotated by the
+    *previous* heading before a prefix sum over positions. A ``lax.scan`` of
+    W tiny composes costs ~0.7 ms per step on this backend (measured 5.9 ms
+    at W=8); this form is a handful of fused vector ops.
+    """
+    th = pose0[2] + jnp.cumsum(deltas[:, 2])
+    th_prev = jnp.concatenate([pose0[2][None], th[:-1]])
+    c, s = jnp.cos(th_prev), jnp.sin(th_prev)
+    dx = c * deltas[:, 0] - s * deltas[:, 1]
+    dy = s * deltas[:, 0] + c * deltas[:, 1]
+    x = pose0[0] + jnp.cumsum(dx)
+    y = pose0[1] + jnp.cumsum(dy)
+    return jnp.stack([x, y, se2.wrap(th)], axis=-1)
+
+
+def kf_select(last_kf, poses, dist_thresh: float, angle_thresh: float):
+    """Vectorized greedy keyframe selection over a window.
+
+    Exactly reproduces the sequential rule — walk the scans, spawn a
+    keyframe whenever distance/angle from the LAST spawned keyframe exceeds
+    a threshold — without a sequential scan (measured ~0.7 ms per scan step
+    on this backend). The greedy chain is a functional graph
+    ``next(i) = first j > i triggering from pose_i``; the selected set is
+    the orbit of the pre-window keyframe, computed by boolean transitive
+    closure via log2(W) matrix squarings on a ``[W+2, W+2]`` reachability
+    matrix (W <= 64, so these are trivially small matmuls).
+
+    Returns ``(is_kf [W] bool, last_out [3])``.
+    """
+    w = poses.shape[0]
+    n = w + 2                          # node 0 = pre-window kf, node w+1 = sink
+    all_p = jnp.concatenate([last_kf[None], poses], axis=0)      # [W+1, 3]
+    d = all_p[None, :, :] - all_p[:, None, :]                    # [W+1, W+1]
+    trig = (jnp.sqrt(d[..., 0] ** 2 + d[..., 1] ** 2) > dist_thresh) | (
+        jnp.abs(se2.wrap(d[..., 2])) > angle_thresh)
+    jj = jnp.arange(w + 1)
+    cand = trig & (jj[None, :] > jj[:, None])
+    has = jnp.any(cand, axis=1)
+    nxt = jnp.where(has, jnp.argmax(cand, axis=1), w + 1)        # [W+1]
+    nxt = jnp.concatenate([nxt, jnp.asarray([w + 1])])           # sink loops
+    adj = jax.nn.one_hot(nxt, n, dtype=poses.dtype)              # [n, n]
+    reach = adj
+    steps = max(1, int(np.ceil(np.log2(max(2, n)))))
+    for _ in range(steps):
+        reach = jnp.minimum(reach + reach @ reach, 1.0)
+    is_kf = reach[0, 1 : w + 1] > 0.5                            # [W]
+    idx = jnp.arange(w)
+    last_i = jnp.max(jnp.where(is_kf, idx, -1))
+    last_out = jnp.where(last_i >= 0, poses[jnp.maximum(last_i, 0)], last_kf)
+    return is_kf, last_out
 
 
 def _pad_to_windows(points, mask, odom, window):
@@ -164,13 +212,9 @@ def run_odometry_windowed(points, mask, odom, grid: GridConfig,
     odo_w = odo_w.reshape(n_win, w, 3)
 
     def kf_flags(last_kf, poses):
-        def kf_step(lk, p):
-            diff = se2.between(lk, p)
-            is_kf = (jnp.sqrt(diff[0] ** 2 + diff[1] ** 2)
-                     > kf_cfg.dist_thresh) | (
-                jnp.abs(diff[2]) > kf_cfg.angle_thresh)
-            return jnp.where(is_kf, p, lk), is_kf
-        return jax.lax.scan(kf_step, last_kf, poses)
+        is_kf, last_out = kf_select(last_kf, poses, kf_cfg.dist_thresh,
+                                    kf_cfg.angle_thresh)
+        return last_out, is_kf
 
     def insert_kf(stats, poses, is_kf, pts, msk):
         wpts = se2.transform(poses, pts)                       # [W, N, 2]

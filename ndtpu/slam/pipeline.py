@@ -220,16 +220,12 @@ def _window_frontend(state: SlamState, last_kf_reg, pts, msk, deltas,
     :func:`ndtpu.slam.odometry.run_odometry_windowed` for the pass/refresh
     rationale (map staleness costs ~4x ATE beyond W=4 without it).
     """
-    from ndtpu.slam.odometry import chain_deltas, gate_poses
+    from ndtpu.slam.odometry import chain_deltas, gate_poses, kf_select
 
     def kf_flags(lk, poses):
-        def kf_step(lk, p):
-            diff = se2.between(lk, p)
-            is_kf = (jnp.sqrt(diff[0] ** 2 + diff[1] ** 2)
-                     > cfg.keyframe.dist_thresh) | (
-                jnp.abs(diff[2]) > cfg.keyframe.angle_thresh)
-            return jnp.where(is_kf, p, lk), is_kf
-        return jax.lax.scan(kf_step, lk, poses)
+        is_kf, last_out = kf_select(lk, poses, cfg.keyframe.dist_thresh,
+                                    cfg.keyframe.angle_thresh)
+        return last_out, is_kf
 
     table = ndt_grid.pack_quad(ndt_grid.finalize(state.stats, cfg.ndt),
                                cfg.grid)
@@ -256,76 +252,118 @@ def _window_backend(state: SlamState, last_kf_reg, poses, hessians, pts, msk,
                     is_kf, cfg: PipelineConfig):
     """Graph/keyframe/loop work for one registered window (in-graph).
 
-    A ``fori_loop`` over the window's scans appends keyframes in order
-    (graph topology is inherently sequential); each new keyframe's odometry
-    measurement is taken between REGISTRATION-TIME poses (so smoothing
-    shifts never pollute relative measurements) while its node value is
-    anchored on the smoothed parent. Loop detection runs per keyframe
-    (every ``cfg.loop.detect_every``-th); smoothing runs ONCE per window.
+    Fully vectorized — no per-scan sequential loop (each tiny carried op
+    costs ~0.7 ms on this backend, VERDICT r2 item 1): all of the window's
+    keyframes are appended with ONE masked scatter per graph array (their
+    slots are a cumsum over the keyframe flags, and the odometry chain
+    telescopes, so every node value and between measurement is closed-form),
+    loop detection runs as ONE batched dispatch over all W scans (masked to
+    the actual keyframes), and smoothing runs once per window.
+
+    Odometry measurements are taken between REGISTRATION-TIME poses (so
+    smoothing shifts never pollute relative measurements) while node values
+    are anchored on the smoothed parent.
 
     Returns ``(new_state, last_kf_reg, kf_idx [W], rel [W,3],
     n_loops_new [W])``.
     """
     dt = poses.dtype
     w = poses.shape[0]
+    graph, kf = state.graph, state.kf
+    cap_v = graph.capacity
+    cap_f = graph.bet_mask.shape[0]
+    big = jnp.asarray(1 << 30, jnp.int32)
 
-    def body(i, acc):
-        graph, kf, last_idx, lkr, kf_idx_out, rel_out, nl_out = acc
+    # --- keyframe slots: cum[i] = # keyframes among scans 0..i ------------
+    cum = jnp.cumsum(is_kf.astype(jnp.int32))
+    slot = graph.n_poses + cum - 1                               # [W]
+    ok = is_kf & (slot < cap_v)                                  # capacity
+    k_new = jnp.sum(ok, dtype=jnp.int32)
 
-        def kf_branch(op):
-            graph, kf, last_idx, lkr = op
-            pose_i = poses[i]
-            new_idx = graph.n_poses
-            z_odo = se2.between(lkr, pose_i)
-            node_init = se2.compose(graph.poses[last_idx], z_odo)
-            graph = fct.add_pose(graph, node_init)
-            graph = fct.add_between(graph, last_idx, new_idx, z_odo,
-                                    _odom_info_sqrt(hessians[i], dt))
-            kf = kfs.add_keyframe(kf, node_init, pts[i], msk[i])
+    # Registration-time pose of each scan's governing keyframe (itself if a
+    # keyframe): running max of keyframe scan indices, -1 before the first.
+    idx = jnp.arange(w)
+    gov = jax.lax.cummax(jnp.where(ok, idx, -1))                 # [W]
+    anchor_reg = jnp.where((gov >= 0)[:, None],
+                           poses[jnp.maximum(gov, 0)], last_kf_reg)
 
-            if cfg.use_loop_closure:
-                do_detect = (new_idx % cfg.loop.detect_every) == 0
+    # Parent (previous keyframe) of each keyframe scan, for between factors.
+    prev_gov = jnp.concatenate([jnp.asarray([-1]), gov[:-1]])
+    parent_reg = jnp.where((prev_gov >= 0)[:, None],
+                           poses[jnp.maximum(prev_gov, 0)], last_kf_reg)
+    parent_idx = jnp.where(cum > 1, graph.n_poses + cum - 2,
+                           state.last_kf_idx)                    # [W]
 
-                def detect(op):
-                    graph, kf = op
-                    loops = closure.detect_loops(
-                        kf, pts[i], msk[i], node_init, new_idx, cfg.loop,
-                        cfg.ndt, cfg.match)
+    # Node values: the odometry chain telescopes, so every new node hangs
+    # off the smoothed anchor by its registration-time offset.
+    anchor_node = graph.poses[state.last_kf_idx]
+    node_vals = se2.compose(anchor_node[None, :],
+                            se2.between(last_kf_reg[None, :], poses))
+    z_odo = se2.between(parent_reg, poses)                       # [W, 3]
+    sqrt_infos = jax.vmap(_odom_info_sqrt, in_axes=(0, None))(hessians, dt)
 
-                    def append(c, g):
-                        return fct.add_between(
-                            g, loops.j[c], new_idx, loops.z[c],
-                            loops.sqrt_info[c], enabled=loops.accept[c])
+    # --- ONE masked scatter per array (mode='drop' kills dead rows) -------
+    vslot = jnp.where(ok, slot, big)
+    graph = graph._replace(
+        poses=graph.poses.at[vslot].set(node_vals, mode="drop"),
+        pose_mask=graph.pose_mask.at[vslot].set(True, mode="drop"),
+        n_poses=graph.n_poses + k_new,
+    )
+    fslot = jnp.where(ok, graph.n_between + cum - 1, big)
+    fok = ok & (graph.n_between + cum - 1 < cap_f)
+    fslot = jnp.where(fok, fslot, big)
+    graph = graph._replace(
+        bet_i=graph.bet_i.at[fslot].set(parent_idx, mode="drop"),
+        bet_j=graph.bet_j.at[fslot].set(slot, mode="drop"),
+        bet_z=graph.bet_z.at[fslot].set(z_odo, mode="drop"),
+        bet_sqrt_info=graph.bet_sqrt_info.at[fslot].set(sqrt_infos,
+                                                        mode="drop"),
+        bet_mask=graph.bet_mask.at[fslot].set(True, mode="drop"),
+        n_between=graph.n_between + jnp.sum(fok, dtype=jnp.int32),
+    )
+    kslot = jnp.where(ok, kf.n + cum - 1, big)
+    kf = kf._replace(
+        poses=kf.poses.at[kslot].set(node_vals, mode="drop"),
+        points=kf.points.at[kslot].set(pts, mode="drop"),
+        masks=kf.masks.at[kslot].set(msk, mode="drop"),
+        live=kf.live.at[kslot].set(True, mode="drop"),
+        n=kf.n + k_new,
+    )
+    last_idx = jnp.where(k_new > 0, graph.n_poses - 1, state.last_kf_idx)
+    lkr = anchor_reg[-1]
 
-                    graph = jax.lax.fori_loop(0, cfg.loop.max_candidates,
-                                              append, graph)
-                    return graph, jnp.sum(loops.accept, dtype=jnp.int32)
+    # --- loop detection: ONE batched dispatch over all W scans ------------
+    if cfg.use_loop_closure:
+        do = ok & (slot % cfg.loop.detect_every == 0)
+        loops = jax.vmap(
+            closure.detect_loops,
+            in_axes=(None, 0, 0, 0, 0, None, None, None),
+        )(kf, pts, msk, node_vals, slot, cfg.loop, cfg.ndt, cfg.match)
+        accept = loops.accept & do[:, None]                      # [W, C]
+        acc_flat = accept.reshape(-1)
+        cumf = jnp.cumsum(acc_flat.astype(jnp.int32))
+        lslot = graph.n_between + cumf - 1
+        lok = acc_flat & (lslot < cap_f)
+        lslot = jnp.where(lok, lslot, big)
+        jflat = loops.j.reshape(-1)
+        iflat = jnp.broadcast_to(slot[:, None], accept.shape).reshape(-1)
+        graph = graph._replace(
+            bet_i=graph.bet_i.at[lslot].set(jflat, mode="drop"),
+            bet_j=graph.bet_j.at[lslot].set(iflat, mode="drop"),
+            bet_z=graph.bet_z.at[lslot].set(loops.z.reshape(-1, 3),
+                                            mode="drop"),
+            bet_sqrt_info=graph.bet_sqrt_info.at[lslot].set(
+                loops.sqrt_info.reshape(-1, 3, 3), mode="drop"),
+            bet_mask=graph.bet_mask.at[lslot].set(True, mode="drop"),
+            n_between=graph.n_between + jnp.sum(lok, dtype=jnp.int32),
+        )
+        nl_out = jnp.sum(accept, axis=1, dtype=jnp.int32)        # [W]
+    else:
+        nl_out = jnp.zeros((w,), jnp.int32)
 
-                graph, n_new = jax.lax.cond(
-                    do_detect, detect,
-                    lambda op: (op[0], jnp.asarray(0, jnp.int32)),
-                    (graph, kf))
-            else:
-                n_new = jnp.asarray(0, jnp.int32)
-            return graph, kf, new_idx, pose_i, n_new
-
-        def no_kf(op):
-            graph, kf, last_idx, lkr = op
-            return graph, kf, last_idx, lkr, jnp.asarray(0, jnp.int32)
-
-        graph, kf, last_idx, lkr, n_new = jax.lax.cond(
-            is_kf[i], kf_branch, no_kf, (graph, kf, last_idx, lkr))
-
-        kf_idx_out = kf_idx_out.at[i].set(last_idx)
-        rel_out = rel_out.at[i].set(se2.between(lkr, poses[i]))
-        nl_out = nl_out.at[i].set(n_new)
-        return graph, kf, last_idx, lkr, kf_idx_out, rel_out, nl_out
-
-    acc0 = (state.graph, state.kf, state.last_kf_idx, last_kf_reg,
-            jnp.zeros((w,), jnp.int32), jnp.zeros((w, 3), dt),
-            jnp.zeros((w,), jnp.int32))
-    graph, kf, last_idx, lkr, kf_idx_out, rel_out, nl_out = jax.lax.fori_loop(
-        0, w, body, acc0)
+    kf_idx_out = jnp.where(cum > 0, jnp.minimum(slot, cap_v - 1),
+                           state.last_kf_idx)
+    rel_out = se2.between(anchor_reg, poses)
 
     # One smoothing pass per window (iSAM2-update cadence at window grain).
     any_kf = jnp.any(is_kf)
