@@ -232,6 +232,31 @@ def main():
     log(f"BA supernodal solve: {ba_ms:.1f} ms/iter at 10k poses")
     extra["ba_solve_ms_per_iter_10k"] = round(ba_ms, 2)
 
+    # === 5. incremental-update cost at 10k poses (iSAM2-update role) ========
+    from ndtpu.graph import incremental as inc
+    icfg = SolverConfig(inc_iters=2, pcg_max_iter=25, full_solve_every=0)
+    upd = jax.jit(lambda s: inc.incremental_update(s, icfg))
+    st = inc.SmootherState(graph=g, lam=lam,
+                           last_max_delta=jnp.asarray(jnp.inf, jnp.float32),
+                           step=jnp.asarray(0, jnp.int32))
+    jax.block_until_ready(upd(st).graph.poses)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        out = upd(st)
+    jax.block_until_ready(out.graph.poses)
+    inc_ms = (time.perf_counter() - t0) / 10 * 1e3
+    st2 = upd(upd(st))._replace(last_max_delta=jnp.asarray(0.0, jnp.float32))
+    jax.block_until_ready(upd(st2).graph.poses)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        out = upd(st2)
+    jax.block_until_ready(out.graph.poses)
+    skip_ms = (time.perf_counter() - t0) / 10 * 1e3
+    log(f"incremental update at 10k poses: active {inc_ms:.1f} ms, "
+        f"settled {skip_ms:.2f} ms")
+    extra["incremental_update_ms_10k"] = round(inc_ms, 2)
+    extra["incremental_settled_ms_10k"] = round(skip_ms, 3)
+
     print(json.dumps({
         "metric": "ndt_registration_throughput",
         "value": round(scans_per_s, 1),

@@ -34,7 +34,8 @@ from ndtpu.graph import factors as fct
 from ndtpu.lie import se2
 
 __all__ = ["SolveResult", "normal_equations", "hessian_matvec",
-           "block_diag_hessian", "solve_dense", "pcg", "optimize"]
+           "block_diag_hessian", "solve_dense", "pcg", "pcg_rhs",
+           "optimize"]
 
 
 class SolveResult(NamedTuple):
@@ -160,9 +161,18 @@ def pcg(g: fct.PoseGraph, lin, lam, cfg: SolverConfig):
     Never materializes H; each iteration is one ``hessian_matvec``. The
     ``lax.while_loop`` exits on relative residual or iteration cap.
     """
-    b = gradient(g, lin)                       # [V, 3]
+    return pcg_rhs(g, lin, -gradient(g, lin), lam, cfg)
+
+
+def pcg_rhs(g: fct.PoseGraph, lin, rhs, lam, cfg: SolverConfig):
+    """Solve ``(H + damping) x = rhs`` matrix-free (rhs ``[V, 3]``).
+
+    The general entry point behind :func:`pcg`; also used for marginal
+    covariances via unit-vector solves
+    (:func:`ndtpu.graph.incremental.marginal_covariance_pcg`).
+    """
     dblocks = block_diag_hessian(g, lin)
-    dt = b.dtype
+    dt = rhs.dtype
     eye = jnp.eye(3, dtype=dt)
     # Damping mirrors solve_dense: lam-scaled |diag| + identity on dead slots.
     dd = jnp.abs(jnp.diagonal(dblocks, axis1=-2, axis2=-1))
@@ -173,7 +183,6 @@ def pcg(g: fct.PoseGraph, lin, lam, cfg: SolverConfig):
     def amul(x):
         return hessian_matvec(g, lin, x) + damp * x
 
-    rhs = -b
     x0 = jnp.zeros_like(rhs)
     r0 = rhs  # - A @ 0
     z0 = jnp.einsum("vab,vb->va", minv, r0)

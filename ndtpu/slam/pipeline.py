@@ -42,6 +42,8 @@ class SlamState(NamedTuple):
     graph: fct.PoseGraph       # pose graph over keyframes
     sm_lam: jax.Array          # [] smoother damping
     sm_last_delta: jax.Array   # [] smoother last max step
+    sm_step: jax.Array         # [] int32 smoother update counter
+                               #    (drives cfg.solver.full_solve_every)
     pose: jax.Array            # [3] current pose estimate
     last_kf_idx: jax.Array     # [] int32 graph index of the latest keyframe
     n_loops: jax.Array         # [] int32 accepted loop closures so far
@@ -81,6 +83,7 @@ def init_slam(cfg: PipelineConfig, first_points, first_mask,
         stats=stats, kf=kf, graph=graph,
         sm_lam=jnp.asarray(cfg.solver.init_lambda, dt),
         sm_last_delta=jnp.asarray(jnp.inf, dt),
+        sm_step=jnp.asarray(0, jnp.int32),
         pose=t0, last_kf_idx=jnp.asarray(0, jnp.int32),
         n_loops=jnp.asarray(0, jnp.int32),
     )
@@ -126,7 +129,7 @@ def _keyframe_branch(state: SlamState, pts, msk, pose, hessian,
     # 4. incremental smoothing (iSAM2-update role).
     sm = inc.SmootherState(graph=graph, lam=state.sm_lam,
                            last_max_delta=state.sm_last_delta,
-                           step=jnp.asarray(0, jnp.int32))
+                           step=state.sm_step)
     sm = inc.incremental_update(sm, cfg.solver)
     graph = sm.graph
 
@@ -150,7 +153,7 @@ def _keyframe_branch(state: SlamState, pts, msk, pose, hessian,
 
     return SlamState(
         stats=stats, kf=kf, graph=graph, sm_lam=sm.lam,
-        sm_last_delta=sm.last_max_delta, pose=pose_out,
+        sm_last_delta=sm.last_max_delta, sm_step=sm.step, pose=pose_out,
         last_kf_idx=new_idx, n_loops=state.n_loops + n_new,
     ), n_new
 
@@ -369,7 +372,7 @@ def _window_backend(state: SlamState, last_kf_reg, poses, hessians, pts, msk,
     any_kf = jnp.any(is_kf)
     sm = inc.SmootherState(graph=graph, lam=state.sm_lam,
                            last_max_delta=state.sm_last_delta,
-                           step=jnp.asarray(0, jnp.int32))
+                           step=state.sm_step)
     sm = jax.lax.cond(
         any_kf, lambda s: inc.incremental_update(s, cfg.solver), lambda s: s,
         sm)
@@ -399,7 +402,7 @@ def _window_backend(state: SlamState, last_kf_reg, poses, hessians, pts, msk,
 
     new_state = SlamState(
         stats=stats, kf=kf, graph=graph, sm_lam=sm.lam,
-        sm_last_delta=sm.last_max_delta, pose=pose_out,
+        sm_last_delta=sm.last_max_delta, sm_step=sm.step, pose=pose_out,
         last_kf_idx=last_idx, n_loops=state.n_loops + n_loops_new,
     )
     return new_state, lkr, kf_idx_out, rel_out, nl_out

@@ -82,6 +82,51 @@ def test_incremental_tracks_full_solve():
     assert float(err) < 0.02, float(err)
 
 
+def test_fresh_residual_fast_path_skips_without_full_linearize():
+    """A settled graph extended with ZERO-residual factors (the windowed
+    odometry construction) must skip via the O(K) fresh-residual test."""
+    g, gt = _chain_graph()
+    res = slv.optimize(g, SolverConfig(max_iter=30), method="dense")
+    g2 = res.graph
+    # Append a factor that exactly matches the current estimate.
+    z = se2.between(g2.poses[10], g2.poses[11])
+    sq = jnp.asarray(np.diag([10.0, 10.0, 20.0]), jnp.float64)
+    g2 = fct.add_between(g2, 10, 11, z, sq)
+    assert float(inc.fresh_residual_max(g2)) < 1e-9
+    st = inc.SmootherState(graph=g2, lam=jnp.asarray(1e-4, jnp.float64),
+                           last_max_delta=jnp.asarray(1e-7, jnp.float64),
+                           step=jnp.asarray(3, jnp.int32))
+    st2 = inc.incremental_update(st, CFG)
+    assert bool(jnp.all(st2.graph.poses == st.graph.poses))
+
+    # A large-residual fresh factor must NOT skip.
+    g3 = fct.add_between(res.graph, 5, 12,
+                         jnp.asarray([9.0, 9.0, 1.0], jnp.float64), sq)
+    assert float(inc.fresh_residual_max(g3)) > 1.0
+
+
+def test_full_solve_every_triggers():
+    """The periodic full solve must fire on the configured cadence and
+    clean up accumulated error that tiny incremental budgets left behind."""
+    g, gt = _chain_graph(noise=0.08)
+    cfg = SolverConfig(inc_iters=1, pcg_max_iter=2, full_solve_every=4,
+                       relin_threshold=1e-4, max_iter=25)
+    st = inc.SmootherState(graph=g, lam=jnp.asarray(1e-4, jnp.float64),
+                           last_max_delta=jnp.asarray(jnp.inf, jnp.float64),
+                           step=jnp.asarray(2, jnp.int32))
+    # One starved update (budget too small to converge)...
+    st = inc.incremental_update(st, cfg)
+    chi_starved = float(fct.chi2(st.graph))
+    # ...then the cadence step (step becomes 4) runs the full solve.
+    st = st._replace(last_max_delta=jnp.asarray(jnp.inf, jnp.float64))
+    st = inc.incremental_update(st, cfg)
+    assert int(st.step) == 4
+    chi_full = float(fct.chi2(st.graph))
+    # The full solve shares the starved pcg_max_iter, so it cannot reach the
+    # dense optimum here — but it must clean up most of the leftover error.
+    assert chi_full < 0.1 * chi_starved, (chi_full, chi_starved)
+
+
 def test_marginal_covariance_shrinks_near_prior():
     g, gt = _chain_graph()
     res = slv.optimize(g, SolverConfig(max_iter=30), method="dense")
@@ -89,3 +134,14 @@ def test_marginal_covariance_shrinks_near_prior():
     cN = inc.marginal_covariance(res.graph, 19)
     # Uncertainty grows along the chain away from the prior.
     assert float(jnp.trace(cN)) > float(jnp.trace(c0))
+
+
+def test_marginal_covariance_pcg_matches_dense():
+    """Unit-vector PCG marginals must match the dense H^{-1} block."""
+    g, gt = _chain_graph()
+    res = slv.optimize(g, SolverConfig(max_iter=30), method="dense")
+    cfg = SolverConfig(pcg_max_iter=400, pcg_tol=1e-10)
+    for idx in (0, 7, 19):
+        dense = np.asarray(inc.marginal_covariance(res.graph, idx))
+        pcgm = np.asarray(inc.marginal_covariance_pcg(res.graph, idx, cfg))
+        np.testing.assert_allclose(pcgm, dense, rtol=1e-3, atol=1e-8)
