@@ -14,6 +14,14 @@ end-to-end SLAM scans/s + ATE for config-1 (odometry) and config-3 (loop
 closure) on the synthetic sequences (real Intel/MIT logs absent from the
 machine — SURVEY.md §0), and the config-4 BA solve ms/iter at 10k poses.
 
+Timing-protocol integrity: this backend serves a REPEATED jitted call on
+byte-identical inputs from a cache (measured: 0.4 ms for a batch whose real
+execution takes ~40 ms) — the round-2 micro-benchmark's "impossible"
+numbers (VERDICT r2 weak item 3) were exactly this. Every timed section
+below therefore perturbs an input per repetition, and end-to-end runs are
+jit-wrapped so Python re-tracing (~1.3 s per call on this pipeline) never
+pollutes a measurement.
+
 ``vs_baseline`` integrity (VERDICT r2 item 2a): the single-thread baseline
 (``ndt_numpy.match_vectorized`` — same algorithm/workload/stopping rules,
 one-core BLAS numpy, the performance class of an Eigen C++ build; the
@@ -150,8 +158,10 @@ def main():
 
     reps = 10
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(spts, smsk, ndt_map, init)
+    for k in range(reps):
+        # Perturbed init per rep: defeats the identical-call result cache
+        # (see module docstring) without changing the workload.
+        out = fn(spts, smsk, ndt_map, init + 1e-4 * (k + 1))
     jax.block_until_ready(out.pose)
     dt = (time.perf_counter() - t0) / reps
     scans_per_s = batch / dt
@@ -195,16 +205,20 @@ def main():
 
     for label, use_loops in (("config1", False), ("config3", True)):
         cfg = PipelineConfig(use_loop_closure=use_loops, **pcfg_base)
+        run = jax.jit(lambda p, m, o: pipeline.run_slam_windowed(p, m, o,
+                                                                 cfg))
         t0 = time.perf_counter()
-        st, outs = pipeline.run_slam_windowed(seq.points, seq.mask, seq.odom,
-                                              cfg)
+        st, outs = run(seq.points, seq.mask, seq.odom)
         jax.block_until_ready(st.pose)
         log(f"{label} compile+first: {time.perf_counter() - t0:.1f}s")
-        t0 = time.perf_counter()
-        st, outs = pipeline.run_slam_windowed(seq.points, seq.mask, seq.odom,
-                                              cfg)
-        jax.block_until_ready(st.pose)
-        warm = time.perf_counter() - t0
+        reps, tot = 3, 0.0
+        for k in range(reps):
+            pts_k = seq.points + 1e-5 * (k + 1)    # defeat result cache
+            t0 = time.perf_counter()
+            st, outs = run(pts_k, seq.mask, seq.odom)
+            jax.block_until_ready(st.pose)
+            tot += time.perf_counter() - t0
+        warm = tot / reps
         traj = pipeline.recover_trajectory(st, outs)
         ate = float(ate_rmse(traj, seq.gt_poses))
         e2e = n_scans / warm
@@ -225,8 +239,8 @@ def main():
     lam = jnp.asarray(1e-3, jnp.float32)
     jax.block_until_ready(step(g, lam))
     t0 = time.perf_counter()
-    for _ in range(10):
-        out = step(g, lam)
+    for k in range(10):
+        out = step(g._replace(poses=g.poses + 1e-6 * (k + 1)), lam)
     jax.block_until_ready(out)
     ba_ms = (time.perf_counter() - t0) / 10 * 1e3
     log(f"BA supernodal solve: {ba_ms:.1f} ms/iter at 10k poses")
@@ -234,22 +248,32 @@ def main():
 
     # === 5. incremental-update cost at 10k poses (iSAM2-update role) ========
     from ndtpu.graph import incremental as inc
+    from ndtpu.graph import solve as slv
     icfg = SolverConfig(inc_iters=2, pcg_max_iter=25, full_solve_every=0)
     upd = jax.jit(lambda s: inc.incremental_update(s, icfg))
     st = inc.SmootherState(graph=g, lam=lam,
                            last_max_delta=jnp.asarray(jnp.inf, jnp.float32),
                            step=jnp.asarray(0, jnp.int32))
     jax.block_until_ready(upd(st).graph.poses)
+    def jiggle(s_, k):
+        return s_._replace(graph=s_.graph._replace(
+            poses=s_.graph.poses + 1e-6 * (k + 1)))
     t0 = time.perf_counter()
-    for _ in range(10):
-        out = upd(st)
+    for k in range(10):
+        out = upd(jiggle(st, k))
     jax.block_until_ready(out.graph.poses)
     inc_ms = (time.perf_counter() - t0) / 10 * 1e3
-    st2 = upd(upd(st))._replace(last_max_delta=jnp.asarray(0.0, jnp.float32))
+    # Settled path: a genuinely CONVERGED graph (zero gradient), so the
+    # O(K) fresh-residual + gradient skip tiers actually fire.
+    sol = slv.optimize(g, SolverConfig(max_iter=30, pcg_max_iter=250),
+                       method="pcg")
+    st2 = inc.SmootherState(graph=sol.graph, lam=lam,
+                            last_max_delta=jnp.asarray(0.0, jnp.float32),
+                            step=jnp.asarray(0, jnp.int32))
     jax.block_until_ready(upd(st2).graph.poses)
     t0 = time.perf_counter()
-    for _ in range(10):
-        out = upd(st2)
+    for k in range(10):
+        out = upd(jiggle(st2, k))
     jax.block_until_ready(out.graph.poses)
     skip_ms = (time.perf_counter() - t0) / 10 * 1e3
     log(f"incremental update at 10k poses: active {inc_ms:.1f} ms, "

@@ -52,8 +52,12 @@ def main():
             out = upd(state)
             jax.block_until_ready(out.graph.poses)
             t0 = time.perf_counter()
-            for _ in range(reps):
-                out = upd(state)
+            for k in range(reps):
+                # per-rep jiggle defeats the identical-call result cache
+                # on this backend (see bench.py docstring).
+                st_k = state._replace(graph=state.graph._replace(
+                    poses=state.graph.poses + 1e-6 * (k + 1)))
+                out = upd(st_k)
             jax.block_until_ready(out.graph.poses)
             return (time.perf_counter() - t0) / reps * 1e3
 

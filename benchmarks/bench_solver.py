@@ -53,8 +53,10 @@ def main():
         out = full(g, lam)
         jax.block_until_ready(out)
         t0 = time.perf_counter()
-        for _ in range(reps):
-            out = full(g, lam)
+        for k in range(reps):
+            # per-rep pose jiggle: byte-identical repeat calls are served
+            # from a result cache on this backend (see bench.py docstring).
+            out = full(g._replace(poses=g.poses + 1e-6 * (k + 1)), lam)
         jax.block_until_ready(out)
         ms = (time.perf_counter() - t0) / reps * 1e3
         print(json.dumps({"metric": f"solve_ms_per_iter_{label}",
@@ -80,8 +82,8 @@ def main():
     lin_fn = jax.jit(lambda g_: fct.linearize(g_))
     jax.block_until_ready(lin_fn(g))
     t0 = time.perf_counter()
-    for _ in range(10):
-        out = lin_fn(g)
+    for k in range(10):
+        out = lin_fn(g._replace(poses=g.poses + 1e-6 * (k + 1)))
     jax.block_until_ready(out)
     ms = (time.perf_counter() - t0) / 10 * 1e3
     print(json.dumps({"metric": "relinearize_ms", "value": round(ms, 3),

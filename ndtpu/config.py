@@ -101,6 +101,12 @@ class MatchConfig:
     max_lambda: float = 1e6
     step_clip: float = 2.0      # max |translation step| (m) per iteration
     exp_clip: float = 40.0      # clamp on Mahalanobis exponent (f32 safety)
+    # Compact quad table: 64 B rows (f32 means + bf16-pair icov/valid)
+    # instead of 128 B. The matcher is gather-bandwidth-bound on TPU, so
+    # this buys ~2x per-iteration time for ~0.4% relative icov error
+    # (immaterial next to eig regularization). Off by default so f64
+    # oracle-parity tests see bit-exact Gaussians.
+    compact_table: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -121,6 +127,11 @@ class LoopConfig:
     min_index_gap: int = 30     # min keyframe index separation
     max_candidates: int = 64    # static batch size of verifications per call
     detect_every: int = 1       # run detection on every k-th keyframe only
+    # Windowed pipeline: detection batch covers the first K keyframes of a
+    # window (keyframes land every ~2-3 scans, so K = W/2 covers everything
+    # in practice; rank-overflow keyframes skip detection for one window).
+    # 0 -> detect for every scan slot (W-wide batch, ~2-3x wasted work).
+    max_detect_per_window: int = 4
     score_gate: float = 0.30    # min mean per-point NDT score to accept
     local_half_extent: float = 15.0  # half-size (m) of per-keyframe local map
     local_cell: float = 1.0

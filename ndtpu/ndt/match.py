@@ -254,10 +254,17 @@ def point_terms_quad(poses, x, y, dpx, dpy, rows, w_mask,
     rx, ry = x - tx, y - ty                     # R(phi) p, reused per grid
     acc = None
     for g in range(overlap):
-        mx, my = rows[..., g * 8 + 0], rows[..., g * 8 + 1]
-        i00, i01 = rows[..., g * 8 + 2], rows[..., g * 8 + 3]
-        i11 = rows[..., g * 8 + 4]
-        w0 = rows[..., g * 8 + 5] * w_mask
+        if cfg.compact_table:
+            from ndtpu.ndt.grid import unpack_bf16_pair
+            mx, my = rows[..., g * 4 + 0], rows[..., g * 4 + 1]
+            i00, i01 = unpack_bf16_pair(rows[..., g * 4 + 2], dt)
+            i11, vld = unpack_bf16_pair(rows[..., g * 4 + 3], dt)
+            w0 = vld * w_mask
+        else:
+            mx, my = rows[..., g * 8 + 0], rows[..., g * 8 + 1]
+            i00, i01 = rows[..., g * 8 + 2], rows[..., g * 8 + 3]
+            i11 = rows[..., g * 8 + 4]
+            w0 = rows[..., g * 8 + 5] * w_mask
         dx, dy = x - mx, y - my
         qx = i00 * dx + i01 * dy
         qy = i01 * dx + i11 * dy
@@ -356,7 +363,7 @@ def match_batch(points, mask, ndt_map: NDTMap, init_poses, grid: GridConfig,
     """
     from ndtpu.ndt.grid import pack_quad
 
-    table = pack_quad(ndt_map, grid)
+    table = pack_quad(ndt_map, grid, compact=cfg.compact_table)
     return match_batch_packed(points, mask, table, init_poses, grid, cfg)
 
 

@@ -225,7 +225,8 @@ def run_odometry_windowed(points, mask, odom, grid: GridConfig,
     def wstep(carry, inp):
         stats, pose_last, last_kf0 = carry
         pts, msk, deltas = inp                       # [W,N,2],[W,N],[W,3]
-        table = ndt_grid.pack_quad(ndt_grid.finalize(stats, ndt_cfg), grid)
+        table = ndt_grid.pack_quad(ndt_grid.finalize(stats, ndt_cfg), grid,
+                                   compact=match_cfg.compact_table)
 
         inits = chain_deltas(pose_last, deltas)
         res = ndt_match.match_batch_packed(pts, msk, table, inits, grid,
@@ -239,7 +240,8 @@ def run_odometry_windowed(points, mask, odom, grid: GridConfig,
             # one insertion per keyframe, at the final pass's poses.
             _, kf_prev = kf_flags(last_kf0, poses)
             tmp = insert_kf(stats, poses, kf_prev, pts, msk)
-            table = ndt_grid.pack_quad(ndt_grid.finalize(tmp, ndt_cfg), grid)
+            table = ndt_grid.pack_quad(ndt_grid.finalize(tmp, ndt_cfg), grid,
+                                       compact=match_cfg.compact_table)
             prev = jnp.concatenate([pose_last[None], poses[:-1]], axis=0)
             inits2 = se2.compose(prev, deltas)
             res = ndt_match.match_batch_packed(pts, msk, table, inits2, grid,

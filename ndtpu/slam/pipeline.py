@@ -231,7 +231,7 @@ def _window_frontend(state: SlamState, last_kf_reg, pts, msk, deltas,
         return last_out, is_kf
 
     table = ndt_grid.pack_quad(ndt_grid.finalize(state.stats, cfg.ndt),
-                               cfg.grid)
+                               cfg.grid, compact=cfg.match.compact_table)
     inits = chain_deltas(state.pose, deltas)
     res = ndt_match.match_batch_packed(pts, msk, table, inits, cfg.grid,
                                        cfg.match)
@@ -241,7 +241,8 @@ def _window_frontend(state: SlamState, last_kf_reg, pts, msk, deltas,
         tmp = ndt_grid.add_points(
             state.stats, se2.transform(poses, pts).reshape(-1, 2),
             (msk & kf_prev[:, None]).reshape(-1), cfg.grid)
-        table = ndt_grid.pack_quad(ndt_grid.finalize(tmp, cfg.ndt), cfg.grid)
+        table = ndt_grid.pack_quad(ndt_grid.finalize(tmp, cfg.ndt), cfg.grid,
+                                   compact=cfg.match.compact_table)
         prev = jnp.concatenate([state.pose[None], poses[:-1]], axis=0)
         inits2 = se2.compose(prev, deltas)
         res = ndt_match.match_batch_packed(pts, msk, table, inits2, cfg.grid,
@@ -335,21 +336,33 @@ def _window_backend(state: SlamState, last_kf_reg, poses, hessians, pts, msk,
     last_idx = jnp.where(k_new > 0, graph.n_poses - 1, state.last_kf_idx)
     lkr = anchor_reg[-1]
 
-    # --- loop detection: ONE batched dispatch over all W scans ------------
+    # --- loop detection: ONE batched dispatch per window ------------------
     if cfg.use_loop_closure:
-        do = ok & (slot % cfg.loop.detect_every == 0)
+        # Batch over the first K actual keyframes of the window instead of
+        # all W scan slots (only ~W/3 scans are keyframes; the vmapped
+        # verification is the window's dominant cost in config 3).
+        kmax = cfg.loop.max_detect_per_window or w
+        kmax = min(kmax, w)
+        ranks = jnp.arange(kmax)
+        # sel[r] = scan index of the window's r-th keyframe (0 if absent).
+        hit = (cum[None, :] - 1 == ranks[:, None]) & ok[None, :]  # [K, W]
+        sel = jnp.argmax(hit, axis=1)
+        has = jnp.any(hit, axis=1)
+        slot_k = slot[sel]
+        do = has & (slot_k % cfg.loop.detect_every == 0)
         loops = jax.vmap(
             closure.detect_loops,
             in_axes=(None, 0, 0, 0, 0, None, None, None),
-        )(kf, pts, msk, node_vals, slot, cfg.loop, cfg.ndt, cfg.match)
-        accept = loops.accept & do[:, None]                      # [W, C]
+        )(kf, pts[sel], msk[sel], node_vals[sel], slot_k,
+          cfg.loop, cfg.ndt, cfg.match)
+        accept = loops.accept & do[:, None]                      # [K, C]
         acc_flat = accept.reshape(-1)
         cumf = jnp.cumsum(acc_flat.astype(jnp.int32))
         lslot = graph.n_between + cumf - 1
         lok = acc_flat & (lslot < cap_f)
         lslot = jnp.where(lok, lslot, big)
         jflat = loops.j.reshape(-1)
-        iflat = jnp.broadcast_to(slot[:, None], accept.shape).reshape(-1)
+        iflat = jnp.broadcast_to(slot_k[:, None], accept.shape).reshape(-1)
         graph = graph._replace(
             bet_i=graph.bet_i.at[lslot].set(jflat, mode="drop"),
             bet_j=graph.bet_j.at[lslot].set(iflat, mode="drop"),
@@ -360,7 +373,9 @@ def _window_backend(state: SlamState, last_kf_reg, poses, hessians, pts, msk,
             bet_mask=graph.bet_mask.at[lslot].set(True, mode="drop"),
             n_between=graph.n_between + jnp.sum(lok, dtype=jnp.int32),
         )
-        nl_out = jnp.sum(accept, axis=1, dtype=jnp.int32)        # [W]
+        nl_rank = jnp.sum(accept, axis=1, dtype=jnp.int32)       # [K]
+        nl_out = jnp.zeros((w,), jnp.int32).at[sel].add(
+            jnp.where(has, nl_rank, 0))                          # [W]
     else:
         nl_out = jnp.zeros((w,), jnp.int32)
 

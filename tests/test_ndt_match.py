@@ -126,3 +126,61 @@ def test_no_valid_cells_is_graceful():
     res = m.match(pts, mask, ndt_map, jnp.zeros(3), GRID, MCFG)
     np.testing.assert_allclose(np.asarray(res.pose), 0.0, atol=0)
     assert float(res.score) == 0.0
+
+
+def test_compact_table_matches_full():
+    """64-byte compact quad rows (bf16-packed icov) vs full 128-byte rows:
+    pose difference sub-millimeter (docs/PERF.md §3)."""
+    import jax
+    import numpy as np
+
+    from ndtpu.config import GridConfig, MatchConfig, NDTMapConfig
+    from ndtpu.data import synth
+    from ndtpu.ndt import grid as ndt_grid
+    from ndtpu.ndt import match as ndt_match
+
+    grid = GridConfig(x0=-16.0, y0=-16.0, cell=1.0, nx=32, ny=32, overlap=4)
+    world = synth.box_world(half=12.0)
+    angles = synth.beam_angles(180, dtype=jnp.float32)
+    mposes = synth.rectangle_trajectory(24, half=8.0, step=1.2,
+                                        dtype=jnp.float32)
+    rr = synth.simulate_scans(world, mposes, angles, 20.0, 0.01,
+                              jax.random.PRNGKey(0))
+    mpts, mmsk = synth.polar_to_xy(rr, angles, 0.1, 20.0)
+    wpts = synth.se2.transform(mposes, mpts)
+    stats = ndt_grid.build_stats(wpts.reshape(-1, 2).astype(jnp.float32),
+                                 mmsk.reshape(-1), grid)
+    nmap = ndt_grid.finalize(stats, NDTMapConfig())
+    sp = synth.rectangle_trajectory(8, half=7.5, step=1.1, dtype=jnp.float32)
+    r2 = synth.simulate_scans(world, sp, angles, 20.0, 0.01,
+                              jax.random.PRNGKey(1))
+    pts, msk = synth.polar_to_xy(r2, angles, 0.1, 20.0)
+    init = sp + jnp.asarray([0.15, -0.1, 0.03], jnp.float32)
+    pts = pts.astype(jnp.float32)
+    init = init.astype(jnp.float32)
+
+    full = ndt_match.match_batch(pts, msk, nmap, init, grid, MatchConfig())
+    comp = ndt_match.match_batch(pts, msk, nmap, init, grid,
+                                 MatchConfig(compact_table=True))
+    d = np.abs(np.asarray(full.pose) - np.asarray(comp.pose))
+    assert d[:, :2].max() < 2e-3, d[:, :2].max()
+    assert d[:, 2].max() < 1e-3, d[:, 2].max()
+    assert int(comp.converged.sum()) == int(full.converged.sum())
+
+
+def test_bf16_pair_roundtrip():
+    import numpy as np
+
+    from ndtpu.ndt.grid import _pack_bf16_pair, unpack_bf16_pair
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.normal(0, 50, (256,)), jnp.float32)
+    b = jnp.asarray(rng.normal(0, 0.01, (256,)), jnp.float32)
+    a2, b2 = unpack_bf16_pair(_pack_bf16_pair(a, b))
+    ra = np.max(np.abs(np.asarray(a2 - a)) / np.maximum(np.abs(np.asarray(a)), 1e-9))
+    rb = np.max(np.abs(np.asarray(b2 - b)) / np.maximum(np.abs(np.asarray(b)), 1e-9))
+    assert ra < 0.01 and rb < 0.01, (ra, rb)
+    # zero lane unpacks to exact zeros (padded lattice slots -> valid == 0)
+    z1, z2 = unpack_bf16_pair(jnp.zeros((4,), jnp.float32))
+    assert float(jnp.max(jnp.abs(z1))) == 0.0
+    assert float(jnp.max(jnp.abs(z2))) == 0.0
