@@ -74,6 +74,11 @@ def load_library():
             np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
         ]
         lib.carmen_free.argtypes = [ctypes.c_void_p]
+        lib.carmen_meta.restype = ctypes.c_int
+        lib.carmen_meta.argtypes = [
+            ctypes.c_void_p,
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        ]
         for name in ("rcm_order", "amd_order"):
             fn = getattr(lib, name)
             fn.restype = ctypes.c_int
@@ -115,11 +120,15 @@ def parse_carmen_native(path: str, max_range: float = 81.9):
         ts = np.empty(t, np.float64)
         lib.carmen_fill(h, ranges.reshape(-1), np.float32(max_range),
                         n_beams, lp.reshape(-1), op.reshape(-1), ts)
+        meta = np.empty(3, np.float64)
+        has_meta = lib.carmen_meta(h, meta)
     finally:
         lib.carmen_free(h)
     from ndtpu.data.carmen import CarmenLog
+    sa, fv, mr = (meta if has_meta else (np.nan, np.nan, np.nan))
     return CarmenLog(ranges=ranges, n_beams=n_beams, laser_pose=lp,
-                     odom_pose=op, timestamps=ts)
+                     odom_pose=op, timestamps=ts, start_angle=float(sa),
+                     fov=float(fv), log_max_range=float(mr))
 
 
 def _order(name: str, edges_i, edges_j, n_vertices: int) -> np.ndarray:

@@ -25,6 +25,9 @@ struct Scan {
 struct ParseResult {
   std::vector<Scan> scans;
   int max_beams = 0;
+  // First ROBOTLASER1 line's metadata: start_angle, fov, max_range.
+  double meta[3] = {0, 0, 0};
+  bool has_meta = false;
 };
 
 // Advance over whitespace, parse one double; returns false at end/error.
@@ -54,10 +57,15 @@ void* carmen_parse(const char* path) {
     p += flaser ? 7 : 12;
     double v;
     Scan s{};
+    double meta[3] = {0, 0, 0};
     if (rlaser) {
       // laser_type start_angle fov ang_res max_range accuracy remission_mode
-      for (int k = 0; k < 7; ++k)
+      for (int k = 0; k < 7; ++k) {
         if (!next_double(p, v)) goto bad;
+        if (k == 1) meta[0] = v;         // start_angle
+        if (k == 2) meta[1] = v;         // fov
+        if (k == 4) meta[2] = v;         // max_range
+      }
     }
     if (!next_double(p, v)) goto bad;
     {
@@ -82,8 +90,17 @@ void* carmen_parse(const char* path) {
         if (!next_double(p, v)) goto bad;
         s.odom_pose[k] = v;
       }
-      // FLASER trailer: ts host log_ts ; ROBOTLASER1: tv rv ... ts host ...
+      // FLASER trailer: timestamp host logger_ts.
+      // ROBOTLASER1 trailer: tv rv forward_safety side_safety turn_axis
+      // timestamp host logger_ts — skip the 5 motion/safety fields first.
+      if (rlaser)
+        for (int k = 0; k < 5; ++k)
+          if (!next_double(p, v)) goto bad;
       s.timestamp = next_double(p, v) ? v : 0.0;
+      if (rlaser && !res->has_meta) {
+        memcpy(res->meta, meta, sizeof(meta));
+        res->has_meta = true;
+      }
       if (n > res->max_beams) res->max_beams = n;
       res->scans.push_back(std::move(s));
     }
@@ -120,6 +137,15 @@ void carmen_fill(void* h, float* ranges, float pad_value, int* n_beams,
     memcpy(odom_pose + 3 * t, s.odom_pose, 3 * sizeof(double));
     timestamps[t] = s.timestamp;
   }
+}
+
+// Metadata of the first ROBOTLASER1 line: [start_angle, fov, max_range].
+// Returns 1 when present, 0 for FLASER-only logs (out untouched).
+int carmen_meta(void* h, double* out3) {
+  auto* res = static_cast<ParseResult*>(h);
+  if (!res || !res->has_meta) return 0;
+  memcpy(out3, res->meta, 3 * sizeof(double));
+  return 1;
 }
 
 void carmen_free(void* h) { delete static_cast<ParseResult*>(h); }

@@ -52,3 +52,106 @@ def test_mixed_beam_counts(tmp_path):
     assert back.ranges.shape[1] == 181
     pts, mask, _ = carmen.to_sequence(back)
     assert not mask[1, 180]  # padded beam masked out
+
+
+def test_robotlaser1_real_world_line(tmp_path):
+    """Hand-written ROBOTLASER1 lines following the CARMEN logger spec
+    (not produced by our own writer): remission block, full trailer with
+    tv/rv/safety fields, timestamp, hostname, logger timestamp."""
+    import math
+
+    n = 5
+    readings = "1.10 2.20 3.30 4.40 5.50"
+    line = (f"ROBOTLASER1 0 -1.570796 3.141593 0.785398 50.0 0.01 0 {n} "
+            f"{readings} 2 10.0 20.0 "           # 2 remission values
+            "1.0 2.0 0.5 0.9 1.9 0.48 "          # laser pose, robot pose
+            "0.25 0.05 0.4 0.3 0.2 "             # tv rv fwd side axis
+            "1191.521 odin 1191.600\n")
+    p = tmp_path / "rl.log"
+    p.write_text("# comment\n" + line + line)
+    log = carmen.read_carmen(str(p))
+    assert log.ranges.shape == (2, 5)
+    np.testing.assert_allclose(log.ranges[0], [1.1, 2.2, 3.3, 4.4, 5.5],
+                               rtol=1e-6)
+    np.testing.assert_allclose(log.laser_pose[0], [1.0, 2.0, 0.5])
+    np.testing.assert_allclose(log.odom_pose[0], [0.9, 1.9, 0.48])
+    assert abs(log.timestamps[0] - 1191.521) < 1e-6
+    assert abs(log.start_angle - (-1.570796)) < 1e-6
+    assert abs(log.fov - 3.141593) < 1e-6
+    assert abs(log.log_max_range - 50.0) < 1e-6
+
+    # to_sequence picks angles up from the metadata.
+    pts, mask, odom = carmen.to_sequence(log)
+    ang0 = math.atan2(pts[0, 0, 1], pts[0, 0, 0])
+    assert abs(ang0 - (-math.pi / 2)) < 1e-5
+
+
+def test_robotlaser1_without_remission_block(tmp_path):
+    """Dialects that omit the remission count entirely still parse (the
+    probe sees a float where the int count would be)."""
+    line = ("ROBOTLASER1 0 -1.5708 3.1416 1.5708 30.0 0.01 0 3 "
+            "1.0 2.0 3.0 "
+            "5.5 6.5 0.1 5.4 6.4 0.09 "
+            "0.0 0.0 0.0 0.0 0.0 77.5 host 77.6\n")
+    p = tmp_path / "rl2.log"
+    p.write_text(line)
+    log = carmen.read_carmen(str(p))
+    assert log.ranges.shape[0] == 1
+    np.testing.assert_allclose(log.laser_pose[0], [5.5, 6.5, 0.1])
+    # Without the remission block the trailer alignment shifts; timestamp
+    # probing must not crash (it may land on a safety field or 0).
+    assert np.isfinite(log.timestamps[0])
+
+
+def test_malformed_lines_are_skipped_with_warning(tmp_path):
+    good = "FLASER 3 1.0 2.0 3.0 0.1 0.2 0.05 0.1 0.2 0.05 12.5 host 12.6\n"
+    bad = "FLASER 99 1.0 2.0\n"          # truncated readings
+    p = tmp_path / "mix.log"
+    p.write_text(bad + good + "ODOM 1 2 3\n")
+    import warnings as w
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        log = carmen.read_carmen(str(p))
+    assert log.ranges.shape[0] == 1
+    assert any("malformed" in str(r.message) for r in rec)
+
+
+def test_native_parses_robotlaser1_like_python(tmp_path):
+    from ndtpu import native
+
+    if not native.ndtpu_native_available():
+        import pytest
+        pytest.skip("native library unavailable")
+    n = 4
+    line = (f"ROBOTLASER1 0 -1.570796 3.141593 1.0472 50.0 0.01 0 {n} "
+            "1.5 2.5 3.5 4.5 0 "
+            "1.0 2.0 0.5 0.9 1.9 0.48 "
+            "0.25 0.05 0.4 0.3 0.2 "
+            "1191.521 odin 1191.600\n")
+    p = tmp_path / "rl3.log"
+    p.write_text(line * 3)
+    py = carmen.read_carmen(str(p))
+    nat = native.parse_carmen_native(str(p))
+    np.testing.assert_allclose(nat.ranges, py.ranges)
+    np.testing.assert_allclose(nat.laser_pose, py.laser_pose)
+    np.testing.assert_allclose(nat.odom_pose, py.odom_pose)
+    np.testing.assert_allclose(nat.timestamps, py.timestamps)
+    assert abs(nat.start_angle - py.start_angle) < 1e-9
+    assert abs(nat.fov - py.fov) < 1e-9
+
+
+def test_writer_robotlaser_roundtrip(tmp_path):
+    log = carmen.CarmenLog(
+        ranges=np.asarray([[1.0, 2.0, 3.0]], np.float32),
+        n_beams=np.asarray([3], np.int32),
+        laser_pose=np.asarray([[0.5, 0.6, 0.1]]),
+        odom_pose=np.asarray([[0.4, 0.5, 0.09]]),
+        timestamps=np.asarray([5.5]),
+        start_angle=-np.pi / 2, fov=np.pi, log_max_range=30.0)
+    p = tmp_path / "w.log"
+    carmen.write_carmen(str(p), log, style="robotlaser")
+    back = carmen.read_carmen(str(p))
+    np.testing.assert_allclose(back.ranges[0], log.ranges[0], atol=1e-3)
+    np.testing.assert_allclose(back.odom_pose, log.odom_pose, atol=1e-6)
+    assert abs(back.timestamps[0] - 5.5) < 1e-6
+    assert abs(back.fov - np.pi) < 1e-5
