@@ -217,5 +217,5 @@ def match_slab(mesh: Mesh, points, mask, slab_map: SlabMap, init_pose,
         body, mesh=mesh,
         in_specs=(P(), P(), P(None, axis), P(None, axis), P(None, axis), P()),
         out_specs=P(),
-        check_vma=False,
+        check_vma=True,
     )(points, mask, slab_map.mean, slab_map.icov, slab_map.valid, init_pose)

@@ -308,7 +308,7 @@ def schur_delta(mesh: Mesh, graph: fct.PoseGraph, lin, plan: SchurPlan, lam,
                 + tuple(P(axis) for _ in range(len(dev_args))))
     return shard_map(
         step, mesh=mesh, in_specs=in_specs, out_specs=P(),
-        check_vma=False,
+        check_vma=True,
     )(ai, aj, r, ap, rp, *dev_args.values())
 
 

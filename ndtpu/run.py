@@ -56,8 +56,15 @@ def main(argv=None):
     parser.add_argument("--out-traj", default=None)
     parser.add_argument("--out-metrics", default=None)
     parser.add_argument("--checkpoint-dir", default=None)
-    parser.add_argument("--checkpoint-every", type=int, default=100)
+    parser.add_argument("--checkpoint-every", type=int, default=100,
+                        help="checkpoint cadence in SCANS (rounded up to "
+                             "whole windows in windowed mode)")
     parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--mode", choices=("windowed", "scan"),
+                        default="windowed",
+                        help="windowed: W scans per device dispatch "
+                             "(~30x faster, window-granular checkpoints); "
+                             "scan: per-scan host loop")
     args = parser.parse_args(argv)
 
     import jax
@@ -85,34 +92,80 @@ def main(argv=None):
            if args.checkpoint_dir else None)
 
     state = pipeline.init_slam(cfg, points[0], mask[0])
-    start = 1
-    if args.resume and mgr is not None:
-        step, restored = mgr.restore_latest(state)
-        if restored is not None:
-            state, start = restored, step + 1
-            print(f"[run] resumed at scan {start}", file=sys.stderr)
-
     records = []
     outs = []
-    t0 = time.perf_counter()
-    for t in range(start, t_total):
-        rec = {"scan": t}
-        with metrics.timer(rec, "step_s"):
-            state, out = pipeline.slam_step_jit(state, points[t], mask[t],
-                                                odom[t], cfg)
-        outs.append(out)
-        rec.update(score=float(out.score), is_kf=bool(out.is_keyframe),
-                   loops=int(out.n_loops_new))
-        records.append(rec)
-        if mgr is not None:
-            mgr.maybe_save(t, state)
-    jax.block_until_ready(state.pose)
-    dt = time.perf_counter() - t0
-    print(f"[run] {(t_total - start) / dt:.1f} scans/s "
+
+    if args.mode == "windowed":
+        import jax.numpy as jnp
+
+        from ndtpu.slam.odometry import _pad_to_windows
+
+        w = cfg.window
+        pts_w, msk_w, odo_w, n_win, _ = _pad_to_windows(
+            points[1:], mask[1:], odom[1:], w)
+        pts_w = pts_w.reshape(n_win, w, *pts_w.shape[1:])
+        msk_w = msk_w.reshape(n_win, w, *msk_w.shape[1:])
+        odo_w = odo_w.reshape(n_win, w, 3)
+
+        carry = (state, state.pose)
+        start_win = 0
+        if args.resume and mgr is not None:
+            step, restored = mgr.restore_latest(carry)
+            if restored is not None:
+                carry, start_win = restored, step + 1
+                print(f"[run] resumed at window {start_win} "
+                      f"(scan {1 + start_win * w})", file=sys.stderr)
+
+        every_win = max(1, -(-args.checkpoint_every // w))
+        t0 = time.perf_counter()
+        for wi in range(start_win, n_win):
+            rec = {"window": wi, "scan": 1 + wi * w}
+            with metrics.timer(rec, "step_s"):
+                carry, out = pipeline.slam_window_step_jit(
+                    carry[0], carry[1], pts_w[wi], msk_w[wi], odo_w[wi], cfg)
+            outs.append(out)
+            rec.update(score=float(out.score.mean()),
+                       kf=int(np.asarray(out.is_keyframe).sum()),
+                       loops=int(np.asarray(out.n_loops_new).sum()))
+            records.append(rec)
+            if mgr is not None and (wi + 1) % every_win == 0:
+                mgr.maybe_save(wi, carry)
+        state = carry[0]
+        jax.block_until_ready(state.pose)
+        dt = time.perf_counter() - t0
+        done = (n_win - start_win) * w
+        stacked = jax.tree_util.tree_map(
+            lambda *x: jax.numpy.concatenate(x, axis=0), *outs)
+        stacked = jax.tree_util.tree_map(
+            lambda a: a[: t_total - 1 - start_win * w], stacked)
+    else:
+        start = 1
+        if args.resume and mgr is not None:
+            step, restored = mgr.restore_latest(state)
+            if restored is not None:
+                state, start = restored, step + 1
+                print(f"[run] resumed at scan {start}", file=sys.stderr)
+        t0 = time.perf_counter()
+        for t in range(start, t_total):
+            rec = {"scan": t}
+            with metrics.timer(rec, "step_s"):
+                state, out = pipeline.slam_step_jit(state, points[t], mask[t],
+                                                    odom[t], cfg)
+            outs.append(out)
+            rec.update(score=float(out.score), is_kf=bool(out.is_keyframe),
+                       loops=int(out.n_loops_new))
+            records.append(rec)
+            if mgr is not None:
+                mgr.maybe_save(t, state)
+        jax.block_until_ready(state.pose)
+        dt = time.perf_counter() - t0
+        done = t_total - start
+        stacked = jax.tree_util.tree_map(
+            lambda *x: jax.numpy.stack(x), *outs)
+    print(f"[run] {done / dt:.1f} scans/s "
           f"({dt:.1f}s total), keyframes={int(state.kf.n)}, "
           f"loops={int(state.n_loops)}", file=sys.stderr)
 
-    stacked = jax.tree_util.tree_map(lambda *x: jax.numpy.stack(x), *outs)
     traj = np.asarray(pipeline.recover_trajectory(state, stacked))
 
     if gt is not None:

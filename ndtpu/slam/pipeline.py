@@ -33,7 +33,8 @@ from ndtpu.ndt import match as ndt_match
 from ndtpu.slam import keyframes as kfs
 
 __all__ = ["SlamState", "SlamStepOut", "init_slam", "slam_step", "run_slam",
-           "run_slam_windowed", "recover_trajectory"]
+           "slam_window_step", "slam_window_step_jit", "run_slam_windowed",
+           "recover_trajectory"]
 
 
 class SlamState(NamedTuple):
@@ -423,6 +424,31 @@ def _window_backend(state: SlamState, last_kf_reg, poses, hessians, pts, msk,
     return new_state, lkr, kf_idx_out, rel_out, nl_out
 
 
+def slam_window_step(state: SlamState, last_kf_reg, pts, msk, deltas,
+                     cfg: PipelineConfig):
+    """Process one window of W scans (registration + backend). Jittable.
+
+    The unit of the windowed pipeline: ``run_slam_windowed`` scans over it;
+    host-driven runners (checkpoint/resume, online serving) jit it once and
+    loop windows on the host — window-granular checkpoints at full speed
+    (``slam_window_step_jit``).
+
+    Returns ``((state, last_kf_reg), SlamStepOut stacked over W scans)``.
+    """
+    poses, res, is_kf = _window_frontend(state, last_kf_reg, pts, msk,
+                                         deltas, cfg, cfg.window_passes)
+    state, last_kf_reg, kf_idx, rel, nl = _window_backend(
+        state, last_kf_reg, poses, res.hessian, pts, msk, is_kf, cfg)
+    out = SlamStepOut(pose=poses, kf_idx=kf_idx, rel=rel,
+                      score=res.score, is_keyframe=is_kf, n_loops_new=nl)
+    return (state, last_kf_reg), out
+
+
+#: Jit-compiled :func:`slam_window_step` (``cfg`` static) for host-driven
+#: window loops.
+slam_window_step_jit = jax.jit(slam_window_step, static_argnames="cfg")
+
+
 def run_slam_windowed(points, mask, odom, cfg: PipelineConfig,
                       init_pose=None):
     """Window-batched full SLAM (configs 2-3, the TPU-fast entry point).
@@ -452,14 +478,7 @@ def run_slam_windowed(points, mask, odom, cfg: PipelineConfig,
     def wstep(carry, inp):
         state, last_kf_reg = carry
         pts, msk, deltas = inp
-        poses, res, is_kf = _window_frontend(state, last_kf_reg, pts, msk,
-                                             deltas, cfg, cfg.window_passes)
-        state, last_kf_reg, kf_idx, rel, nl = _window_backend(
-            state, last_kf_reg, poses, res.hessian, pts, msk, is_kf, cfg)
-        out = SlamStepOut(pose=poses, kf_idx=kf_idx, rel=rel,
-                          score=res.score, is_keyframe=is_kf,
-                          n_loops_new=nl)
-        return (state, last_kf_reg), out
+        return slam_window_step(state, last_kf_reg, pts, msk, deltas, cfg)
 
     carry0 = (state0, state0.pose)
     (state, _), outs = jax.lax.scan(wstep, carry0, (pts_w, msk_w, odo_w))
