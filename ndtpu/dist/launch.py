@@ -99,10 +99,28 @@ def worker_main(argv=None) -> None:
     res = schur.optimize_schur(mesh, g, plan, SolverConfig(max_iter=10))
     chi1 = float(fct.chi2(res.graph))
 
+    # Timing: one distributed Schur GN step (linearize + eliminate + psum +
+    # separator solve + backsubstitute), jitted ONCE and dispatched with
+    # perturbed inputs (identical-input repeats can be served from a cache
+    # on some backends — see bench.py).
+    import time
+    lam = jnp.asarray(1e-3, g.poses.dtype)
+    step = jax.jit(lambda g_: schur.schur_delta(
+        mesh, g_, fct.linearize(g_), plan, lam))
+    jax.block_until_ready(step(g))
+    ts = []
+    for k in range(5):
+        gk = g._replace(poses=g.poses + 1e-6 * (k + 1))
+        t0 = time.perf_counter()
+        jax.block_until_ready(step(gk))
+        ts.append(time.perf_counter() - t0)
+    step_s = sorted(ts)[len(ts) // 2]
+
     if args.process_id == 0:
         rec = {"num_processes": args.num_processes, "n_devices": n_dev,
                "n_poses": args.n_poses, "chi2_before": chi0,
-               "chi2_after": chi1, "iters": int(res.n_iter)}
+               "chi2_after": chi1, "iters": int(res.n_iter),
+               "solve_s": round(step_s, 4)}
         line = json.dumps(rec)
         print(line, flush=True)
         if args.out:

@@ -118,21 +118,31 @@ def main(argv=None):
 
         every_win = max(1, -(-args.checkpoint_every // w))
         t0 = time.perf_counter()
+        # The loop never blocks on device results (no float()/np.asarray on
+        # outputs inside it), so JAX's async dispatch pipelines host-side
+        # input prep + dispatch of window k+1 with device compute of window
+        # k — the host/device-overlap analogue of pipeline parallelism
+        # (SURVEY.md §3.3 "PP"). Metrics are extracted after the loop.
+        dispatch_ts = []
         for wi in range(start_win, n_win):
-            rec = {"window": wi, "scan": 1 + wi * w}
-            with metrics.timer(rec, "step_s"):
-                carry, out = pipeline.slam_window_step_jit(
-                    carry[0], carry[1], pts_w[wi], msk_w[wi], odo_w[wi], cfg)
+            td = time.perf_counter()
+            carry, out = pipeline.slam_window_step_jit(
+                carry[0], carry[1], pts_w[wi], msk_w[wi], odo_w[wi], cfg)
+            dispatch_ts.append(time.perf_counter() - td)
             outs.append(out)
-            rec.update(score=float(out.score.mean()),
-                       kf=int(np.asarray(out.is_keyframe).sum()),
-                       loops=int(np.asarray(out.n_loops_new).sum()))
-            records.append(rec)
             if mgr is not None and (wi + 1) % every_win == 0:
-                mgr.maybe_save(wi, carry)
+                mgr.maybe_save(wi, carry)  # blocks: transfers state to host
         state = carry[0]
         jax.block_until_ready(state.pose)
         dt = time.perf_counter() - t0
+        for k, (wi, out) in enumerate(zip(range(start_win, n_win), outs)):
+            records.append({
+                "window": wi, "scan": 1 + wi * w,
+                "dispatch_s": round(dispatch_ts[k], 6),
+                "score": float(out.score.mean()),
+                "kf": int(np.asarray(out.is_keyframe).sum()),
+                "loops": int(np.asarray(out.n_loops_new).sum()),
+            })
         done = (n_win - start_win) * w
         stacked = jax.tree_util.tree_map(
             lambda *x: jax.numpy.concatenate(x, axis=0), *outs)
