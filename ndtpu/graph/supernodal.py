@@ -76,6 +76,19 @@ def plan_supernodal(graph: fct.PoseGraph, n_shards: int,
         inv[bet_i].astype(np.int32), inv[bet_j].astype(np.int32), bet_mask,
         inv[np.asarray(graph.prior_idx)].astype(np.int32),
         np.asarray(graph.prior_mask), v, n_shards)
+    # One-level Schur needs a small separator: the segment-id space of the
+    # interior-separator coupling block must fit int32 (and a huge ns means
+    # the replicated dense separator solve dominates anyway). Fail with
+    # guidance instead of an int32 OverflowError deep in the device step.
+    p_dim, ni, ns = plan.fac_idx.shape[0], plan.ni, plan.ns
+    n_is = p_dim * ni * ns * 9
+    if n_is >= 2**31 or ns > 20000:
+        raise ValueError(
+            f"separator too large for the supernodal path (ns={ns}, "
+            f"coupling ids={n_is:.2e}): this graph partitions poorly at "
+            f"n_shards={n_shards}. Use fewer shards, or the matrix-free "
+            f"PCG solver (ndtpu.graph.solve.optimize(method='pcg')) which "
+            f"scales to 100k+ poses.")
     # Re-express the plan's variable maps in ORIGINAL pose indices so the
     # device step scatters straight into the unpermuted delta.
     plan = plan._replace(
