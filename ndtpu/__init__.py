@@ -24,7 +24,9 @@ JAX/XLA/Pallas tensor programs for TPU:
 - ``ndtpu.data``    — CARMEN log parser, g2o parser, synthetic lidar
                       simulator, Manhattan-world pose-graph generator.
 - ``ndtpu.eval``    — ATE / RPE trajectory metrics (Umeyama alignment).
-- ``ndtpu.kernels`` — Pallas TPU kernels for the hot paths.
+- ``ndtpu.kernels`` — (empty by evidence: the hot loop is gather-
+                      bound and Mosaic can't lower big-table
+                      gathers; see docs/PERF.md §3).
 
 The reference checkout was empty when this project was designed (SURVEY.md
 §0); behavioral parity claims cite SURVEY.md sections (which carry their own

@@ -86,3 +86,21 @@ def test_pipeline_no_loops_matches_odometry_mode(loop_sequence):
     traj = pipeline.recover_trajectory(state, outs)
     ate = float(ate_rmse(traj, seq.gt_poses))
     assert ate < 0.6, ate  # pure odometry should still track reasonably
+
+
+def test_windowed_pipeline_capacity_overflow_is_graceful(loop_sequence):
+    """Keyframe/graph capacity far below demand: appends must drop cleanly
+    (no NaNs, counters clamped, trajectory still finite)."""
+    seq = loop_sequence
+    cfg = _cfg(False)
+    import dataclasses
+    from ndtpu.config import KeyframeConfig
+    cfg = dataclasses.replace(
+        cfg, keyframe=KeyframeConfig(dist_thresh=0.6, angle_thresh=0.3,
+                                     capacity=8))
+    st, outs = pipeline.run_slam_windowed(seq.points, seq.mask, seq.odom, cfg)
+    assert int(st.kf.n) <= 8
+    assert int(st.graph.n_poses) <= 8
+    traj = pipeline.recover_trajectory(st, outs)
+    assert not bool(jnp.any(jnp.isnan(traj)))
+    assert traj.shape == (seq.points.shape[0], 3)
