@@ -61,14 +61,16 @@ def main():
         mesh = dist.space_mesh(d)
         lam = jnp.asarray(1e-3, jnp.float32)
 
-        def step():
-            lin = fct.linearize(g)
-            return dist.schur_delta(mesh, g, lin, plan, lam)
+        def step(g_):
+            lin = fct.linearize(g_)
+            return dist.schur_delta(mesh, g_, lin, plan, lam)
 
-        jax.block_until_ready(step())
+        jax.block_until_ready(step(g))
         t0 = time.perf_counter()
-        for _ in range(3):
-            out = step()
+        for k in range(3):
+            # per-rep jiggle: identical-input repeats can be served from a
+            # result cache on this backend (see bench.py docstring).
+            out = step(g._replace(poses=g.poses + 1e-6 * (k + 1)))
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / 3
         results[d] = dt
