@@ -65,6 +65,9 @@ def worker_main(argv=None) -> None:
     ap.add_argument("--num-processes", type=int, required=True)
     ap.add_argument("--process-id", type=int, required=True)
     ap.add_argument("--n-poses", type=int, default=120)
+    ap.add_argument("--graph-npz", default="",
+                    help="optional serialized PoseGraph (ndtpu.dist.launch."
+                         "save_graph_npz) to solve instead of Manhattan")
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
 
@@ -84,12 +87,15 @@ def worker_main(argv=None) -> None:
     assert n_dev >= args.num_processes, (n_dev, args.num_processes)
     mesh = dmesh.multihost_mesh("space")
 
-    # Identical problem on every process (same seed -> same host arrays).
-    data = g2o.manhattan_world(args.n_poses, seed=0, loop_prob=0.2)
-    g = g2o.to_graph(data, dtype=jnp.float32)
-    rng = np.random.default_rng(0)
-    g = g._replace(poses=g.poses + jnp.asarray(
-        rng.normal(0, 0.05, g.poses.shape), jnp.float32))
+    # Identical problem on every process (same seed / same file).
+    if args.graph_npz:
+        g = load_graph_npz(args.graph_npz)
+    else:
+        data = g2o.manhattan_world(args.n_poses, seed=0, loop_prob=0.2)
+        g = g2o.to_graph(data, dtype=jnp.float32)
+        rng = np.random.default_rng(0)
+        g = g._replace(poses=g.poses + jnp.asarray(
+            rng.normal(0, 0.05, g.poses.shape), jnp.float32))
     plan = schur.plan_partition(
         np.asarray(g.bet_i), np.asarray(g.bet_j), np.asarray(g.bet_mask),
         np.asarray(g.prior_idx), np.asarray(g.prior_mask),
@@ -129,8 +135,25 @@ def worker_main(argv=None) -> None:
     shutdown()
 
 
+def save_graph_npz(path: str, graph) -> None:
+    """Serialize a PoseGraph to npz (for shipping a problem to workers)."""
+    import numpy as np
+    np.savez(path, **{k: np.asarray(v) for k, v in graph._asdict().items()})
+
+
+def load_graph_npz(path: str):
+    """Inverse of :func:`save_graph_npz` (jnp arrays, scalars as int32)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ndtpu.graph import factors as fct
+    d = np.load(path)
+    return fct.PoseGraph(**{k: jnp.asarray(d[k]) for k in d.files})
+
+
 def launch_local(num_processes: int = 2, n_poses: int = 120,
-                 timeout_s: float = 600.0, port: int = 29511) -> dict:
+                 timeout_s: float = 600.0, port: int = 29511,
+                 graph_npz: str = "") -> dict:
     """Spawn N local CPU worker processes and return process 0's report.
 
     Each worker is a fresh interpreter with the TPU sitecustomize stripped
@@ -152,6 +175,8 @@ def launch_local(num_processes: int = 2, n_poses: int = 120,
                "--coordinator", f"localhost:{port}",
                "--num-processes", str(num_processes),
                "--process-id", str(pid), "--n-poses", str(n_poses)]
+        if graph_npz:
+            cmd += ["--graph-npz", graph_npz]
         if pid == 0:
             cmd += ["--out", out_path]
         procs.append(subprocess.Popen(cmd, env=env, cwd=repo,

@@ -57,3 +57,15 @@ def test_pipeline_nan_free_under_debug_nans():
     finally:
         jax.config.update("jax_debug_nans", False)
     assert np.all(np.isfinite(np.asarray(outs.pose)))
+
+
+def test_windowed_pipeline_same_seed_bit_identical():
+    seq = _seq(33)
+    cfg = _cfg()
+    s1, o1 = pipeline.run_slam_windowed(seq.points, seq.mask, seq.odom, cfg)
+    s2, o2 = pipeline.run_slam_windowed(seq.points, seq.mask, seq.odom, cfg)
+    np.testing.assert_array_equal(np.asarray(o1.pose), np.asarray(o2.pose))
+    np.testing.assert_array_equal(np.asarray(s1.graph.poses),
+                                  np.asarray(s2.graph.poses))
+    np.testing.assert_array_equal(np.asarray(s1.stats.n),
+                                  np.asarray(s2.stats.n))

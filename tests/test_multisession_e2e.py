@@ -82,3 +82,42 @@ def test_two_session_merge_end_to_end():
     # Not all points land on-grid (the A-anchored frame shifts the room
     # partly outside the 24 m map window); half is a safe plumbing check.
     assert float(stats.n.sum()) >= 0.5 * (na + nb) * cfg.grid.overlap
+
+
+def test_merged_graph_solves_across_two_processes(tmp_path):
+    """The full config-5 story: two windowed SLAM sessions -> global
+    alignment -> fused graph -> DISTRIBUTED Schur solve across 2 real OS
+    processes over jax.distributed."""
+    from ndtpu.dist.launch import launch_local, save_graph_npz
+
+    cfg = _cfg()
+    world = synth.box_world(half=9.0)
+    traj_a = synth.rectangle_trajectory(49, half=6.0, step=0.3)
+    b0 = jnp.asarray([1.5, 2.0, 0.7], jnp.float32)
+    traj_b = se2.compose(jnp.broadcast_to(b0, (33, 3)),
+                         synth.rectangle_trajectory(33, half=4.0, step=0.25))
+    seq_a = synth.make_sequence(world, traj_a, n_beams=180, max_range=16.0,
+                                min_range=0.1, seed=5)
+    seq_b = synth.make_sequence(world, traj_b, n_beams=180, max_range=16.0,
+                                min_range=0.1, seed=6)
+    sa, _ = pipeline.run_slam_windowed(seq_a.points, seq_a.mask, seq_a.odom,
+                                       cfg)
+    sb, _ = pipeline.run_slam_windowed(seq_b.points, seq_b.mask, seq_b.odom,
+                                       cfg)
+    map_a = ndt_grid.finalize(sa.stats, cfg.ndt)
+    res = merge.global_align(map_a, cfg.grid, sb.kf.points[0], sb.kf.masks[0],
+                             span=8.0, step=1.0, n_theta=16)
+    assert bool(res.converged)
+    sq = jnp.asarray(np.diag([10.0, 10.0, 20.0]), jnp.float32)
+    inter = (np.asarray([0]), np.asarray([0]), res.transform[None, :],
+             sq[None])
+    g = merge.merge_graphs(sa.graph, sb.graph, res.transform,
+                           inter_factors=inter)
+
+    path = str(tmp_path / "merged_graph.npz")
+    save_graph_npz(path, g)
+    rec = launch_local(2, graph_npz=path, port=29531)
+    assert rec["num_processes"] == 2
+    assert rec["chi2_after"] <= rec["chi2_before"] + 1e-6, rec
+    # The merged problem is solvable: chi2 lands at a small value.
+    assert rec["chi2_after"] < max(0.5 * rec["chi2_before"], 50.0), rec
