@@ -124,7 +124,10 @@ def main():
     grid = GridConfig(x0=-32.0, y0=-32.0, cell=0.5, nx=128, ny=128, overlap=4)
     mcfg = MatchConfig()
     ncfg = NDTMapConfig()
-    n_beams, batch = 720, 256
+    n_beams, batch = 720, 1024   # B sweep (honest): 256 -> 6.2k scans/s,
+                                 # 512 -> 8.9k, 1024 -> 10.5k; the gather's
+                                 # per-index cost amortizes sublinearly, so
+                                 # the serving headline uses the big batch.
 
     world = synth.box_world(half=28.0)
     angles = synth.beam_angles(n_beams)
@@ -156,17 +159,21 @@ def main():
         f"converged {int(jnp.sum(out.converged))}/{batch}, "
         f"mean iters {float(jnp.mean(out.n_iter)):.1f}")
 
-    reps = 10
-    t0 = time.perf_counter()
+    rng = np.random.default_rng()        # fresh values every run: the
+    reps = 8                             # result cache persists ACROSS
+    ts = []                              # processes (docs/PERF.md)
     for k in range(reps):
-        # Perturbed init per rep: defeats the identical-call result cache
-        # (see module docstring) without changing the workload.
-        out = fn(spts, smsk, ndt_map, init + 1e-4 * (k + 1))
-    jax.block_until_ready(out.pose)
-    dt = (time.perf_counter() - t0) / reps
+        i_k = init + jnp.asarray(rng.normal(0, 1e-3, (batch, 3)),
+                                 spts.dtype)
+        t0 = time.perf_counter()
+        out = fn(spts, smsk, ndt_map, i_k)
+        jax.block_until_ready(out.pose)
+        ts.append(time.perf_counter() - t0)
+    dt = float(np.median(ts))
     scans_per_s = batch / dt
-    log(f"headline warm: {dt*1e3:.1f} ms / {batch} scans "
+    log(f"headline warm: median {dt*1e3:.1f} ms / {batch} scans "
         f"-> {scans_per_s:.0f} scans/s")
+    extra["headline_batch"] = batch
 
     # === 2. single-thread baseline (clean pinned subprocess) ================
     npz = "/tmp/ndtpu_bench_baseline.npz"
@@ -211,14 +218,17 @@ def main():
         st, outs = run(seq.points, seq.mask, seq.odom)
         jax.block_until_ready(st.pose)
         log(f"{label} compile+first: {time.perf_counter() - t0:.1f}s")
-        reps, tot = 3, 0.0
+        reps, ts_e = 3, []
         for k in range(reps):
-            pts_k = seq.points + 1e-5 * (k + 1)    # defeat result cache
+            # FRESH random jiggle: deterministic offsets reused across runs
+            # hit the cross-process result cache (docs/PERF.md).
+            pts_k = seq.points + jnp.asarray(
+                rng.normal(0, 1e-5, (1, 1, 1)), seq.points.dtype)
             t0 = time.perf_counter()
             st, outs = run(pts_k, seq.mask, seq.odom)
             jax.block_until_ready(st.pose)
-            tot += time.perf_counter() - t0
-        warm = tot / reps
+            ts_e.append(time.perf_counter() - t0)
+        warm = float(np.median(ts_e))
         traj = pipeline.recover_trajectory(st, outs)
         ate = float(ate_rmse(traj, seq.gt_poses))
         e2e = n_scans / warm
@@ -238,11 +248,15 @@ def main():
         g_, fct.linearize(g_), plan, lam))
     lam = jnp.asarray(1e-3, jnp.float32)
     jax.block_until_ready(step(g, lam))
-    t0 = time.perf_counter()
+    ts_b = []
     for k in range(10):
-        out = step(g._replace(poses=g.poses + 1e-6 * (k + 1)), lam)
-    jax.block_until_ready(out)
-    ba_ms = (time.perf_counter() - t0) / 10 * 1e3
+        gk = g._replace(poses=g.poses + jnp.asarray(
+            rng.normal(0, 1e-6, (1, 1)), jnp.float32))
+        t0 = time.perf_counter()
+        out = step(gk, lam)
+        jax.block_until_ready(out)
+        ts_b.append(time.perf_counter() - t0)
+    ba_ms = float(np.median(ts_b)) * 1e3
     log(f"BA supernodal solve: {ba_ms:.1f} ms/iter at 10k poses")
     extra["ba_solve_ms_per_iter_10k"] = round(ba_ms, 2)
 
@@ -255,14 +269,17 @@ def main():
                            last_max_delta=jnp.asarray(jnp.inf, jnp.float32),
                            step=jnp.asarray(0, jnp.int32))
     jax.block_until_ready(upd(st).graph.poses)
-    def jiggle(s_, k):
+    def jiggle(s_):
         return s_._replace(graph=s_.graph._replace(
-            poses=s_.graph.poses + 1e-6 * (k + 1)))
-    t0 = time.perf_counter()
+            poses=s_.graph.poses + jnp.asarray(
+                rng.normal(0, 1e-6, (1, 1)), jnp.float32)))
+    ts_i = []
     for k in range(10):
-        out = upd(jiggle(st, k))
-    jax.block_until_ready(out.graph.poses)
-    inc_ms = (time.perf_counter() - t0) / 10 * 1e3
+        t0 = time.perf_counter()
+        out = upd(jiggle(st))
+        jax.block_until_ready(out.graph.poses)
+        ts_i.append(time.perf_counter() - t0)
+    inc_ms = float(np.median(ts_i)) * 1e3
     # Settled path: a genuinely CONVERGED graph (zero gradient), so the
     # O(K) fresh-residual + gradient skip tiers actually fire.
     sol = slv.optimize(g, SolverConfig(max_iter=30, pcg_max_iter=250),
@@ -271,11 +288,13 @@ def main():
                             last_max_delta=jnp.asarray(0.0, jnp.float32),
                             step=jnp.asarray(0, jnp.int32))
     jax.block_until_ready(upd(st2).graph.poses)
-    t0 = time.perf_counter()
+    ts_s = []
     for k in range(10):
-        out = upd(jiggle(st2, k))
-    jax.block_until_ready(out.graph.poses)
-    skip_ms = (time.perf_counter() - t0) / 10 * 1e3
+        t0 = time.perf_counter()
+        out = upd(jiggle(st2))
+        jax.block_until_ready(out.graph.poses)
+        ts_s.append(time.perf_counter() - t0)
+    skip_ms = float(np.median(ts_s)) * 1e3
     log(f"incremental update at 10k poses: active {inc_ms:.1f} ms, "
         f"settled {skip_ms:.2f} ms")
     extra["incremental_update_ms_10k"] = round(inc_ms, 2)

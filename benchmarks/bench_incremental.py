@@ -51,12 +51,14 @@ def main():
         def timed(state, reps=10):
             out = upd(state)
             jax.block_until_ready(out.graph.poses)
+            rng_t = np.random.default_rng()
             t0 = time.perf_counter()
             for k in range(reps):
-                # per-rep jiggle defeats the identical-call result cache
-                # on this backend (see bench.py docstring).
+                # fresh random jiggle: the result cache persists across
+                # processes (docs/PERF.md).
                 st_k = state._replace(graph=state.graph._replace(
-                    poses=state.graph.poses + 1e-6 * (k + 1)))
+                    poses=state.graph.poses + jnp.asarray(
+                        rng_t.normal(0, 1e-6, (1, 1)), jnp.float32)))
                 out = upd(st_k)
             jax.block_until_ready(out.graph.poses)
             return (time.perf_counter() - t0) / reps * 1e3

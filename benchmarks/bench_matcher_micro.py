@@ -43,12 +43,16 @@ def timeit(fn, *args, reps=10, perturb=0):
     """
     import jax
 
+    import numpy as _np
+
+    rng = _np.random.default_rng()
     out = fn(*args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for k in range(reps):
         a = list(args)
-        a[perturb] = a[perturb] + 1e-4 * (k + 1)
+        # fresh random jiggle: the result cache persists across processes
+        a[perturb] = a[perturb] + float(rng.normal(0, 1e-4))
         out = fn(*a)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / reps

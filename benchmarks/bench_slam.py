@@ -40,10 +40,15 @@ def run_config(label, cfg, n_scans, windowed=True):
     state, outs = run(seq.points, seq.mask, seq.odom)
     jax.block_until_ready(state.pose)
     compile_s = time.perf_counter() - t0
+    rng = __import__("numpy").random.default_rng()
     reps, tot = 3, 0.0
     for k in range(reps):
+        # fresh random jiggle: deterministic offsets reused across runs hit
+        # the cross-process result cache (docs/PERF.md)
+        pts_k = seq.points + jnp.asarray(rng.normal(0, 1e-5, (1, 1, 1)),
+                                         seq.points.dtype)
         t0 = time.perf_counter()
-        state, outs = run(seq.points + 1e-5 * (k + 1), seq.mask, seq.odom)
+        state, outs = run(pts_k, seq.mask, seq.odom)
         jax.block_until_ready(state.pose)
         tot += time.perf_counter() - t0
     warm = tot / reps

@@ -52,11 +52,14 @@ def main():
         lam = jnp.asarray(1e-3, jnp.float32)
         out = full(g, lam)
         jax.block_until_ready(out)
+        rng_t = np.random.default_rng()
         t0 = time.perf_counter()
         for k in range(reps):
-            # per-rep pose jiggle: byte-identical repeat calls are served
-            # from a result cache on this backend (see bench.py docstring).
-            out = full(g._replace(poses=g.poses + 1e-6 * (k + 1)), lam)
+            # fresh random pose jiggle: the result cache persists across
+            # processes, so deterministic offsets go stale (docs/PERF.md).
+            gk = g._replace(poses=g.poses + jnp.asarray(
+                rng_t.normal(0, 1e-6, (1, 1)), jnp.float32))
+            out = full(gk, lam)
         jax.block_until_ready(out)
         ms = (time.perf_counter() - t0) / reps * 1e3
         print(json.dumps({"metric": f"solve_ms_per_iter_{label}",
@@ -81,9 +84,11 @@ def main():
     # Relinearization throughput alone (config 4 names it explicitly).
     lin_fn = jax.jit(lambda g_: fct.linearize(g_))
     jax.block_until_ready(lin_fn(g))
+    rng_t = np.random.default_rng()
     t0 = time.perf_counter()
     for k in range(10):
-        out = lin_fn(g._replace(poses=g.poses + 1e-6 * (k + 1)))
+        out = lin_fn(g._replace(poses=g.poses + jnp.asarray(
+            rng_t.normal(0, 1e-6, (1, 1)), jnp.float32)))
     jax.block_until_ready(out)
     ms = (time.perf_counter() - t0) / 10 * 1e3
     print(json.dumps({"metric": "relinearize_ms", "value": round(ms, 3),

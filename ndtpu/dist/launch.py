@@ -115,8 +115,11 @@ def worker_main(argv=None) -> None:
         mesh, g_, fct.linearize(g_), plan, lam))
     jax.block_until_ready(step(g))
     ts = []
+    rng_t = np.random.default_rng()
     for k in range(5):
-        gk = g._replace(poses=g.poses + 1e-6 * (k + 1))
+        # fresh random jiggle: result cache persists across processes
+        gk = g._replace(poses=g.poses + jnp.asarray(
+            rng_t.normal(0, 1e-6, (1, 1)), g.poses.dtype))
         t0 = time.perf_counter()
         jax.block_until_ready(step(gk))
         ts.append(time.perf_counter() - t0)
