@@ -192,7 +192,9 @@ def main():
         f"{base_scans_per_s:.1f} scans/s")
     extra["baseline_numpy_scans_per_s"] = round(base_scans_per_s, 1)
 
-    # === 3. end-to-end SLAM: configs 1 & 3 (windowed pipeline) ==============
+    # === 3. end-to-end SLAM: configs 1-3 (windowed) =========================
+    # config1 = pure NDT odometry (no graph); config2 = odometry + keyframe
+    # graph + incremental smoothing + online map; config3 = + loop closure.
     n_scans = 300
     pcfg_base = dict(
         grid=GridConfig(x0=-14.0, y0=-14.0, cell=0.5, nx=56, ny=56,
@@ -210,7 +212,31 @@ def main():
                               min_range=0.1, seed=1, odom_trans_std=0.04,
                               odom_rot_std=0.01)
 
-    for label, use_loops in (("config1", False), ("config3", True)):
+    # config 1: windowed odometry front end alone.
+    from ndtpu.slam.odometry import run_odometry_windowed
+    ocfg = pcfg_base
+    run1 = jax.jit(lambda p, m, o: run_odometry_windowed(
+        p, m, o, ocfg["grid"], NDTMapConfig(), MatchConfig(),
+        ocfg["keyframe"], window=8, passes=2))
+    t0 = time.perf_counter()
+    r1 = run1(seq.points, seq.mask, seq.odom)
+    jax.block_until_ready(r1.poses)
+    log(f"config1 compile+first: {time.perf_counter() - t0:.1f}s")
+    ts1 = []
+    for k in range(3):
+        pts_k = seq.points + jnp.asarray(rng.normal(0, 1e-5, (1, 1, 1)),
+                                         seq.points.dtype)
+        t0 = time.perf_counter()
+        r1 = run1(pts_k, seq.mask, seq.odom)
+        jax.block_until_ready(r1.poses)
+        ts1.append(time.perf_counter() - t0)
+    e2e1 = n_scans / float(np.median(ts1))
+    ate1 = float(ate_rmse(r1.poses, seq.gt_poses))
+    log(f"config1 (odometry): {e2e1:.0f} scans/s e2e, ATE {ate1:.4f} m")
+    extra["slam_config1_scans_per_s"] = round(e2e1, 1)
+    extra["slam_config1_ate_m"] = round(ate1, 4)
+
+    for label, use_loops in (("config2", False), ("config3", True)):
         cfg = PipelineConfig(use_loop_closure=use_loops, **pcfg_base)
         run = jax.jit(lambda p, m, o: pipeline.run_slam_windowed(p, m, o,
                                                                  cfg))
