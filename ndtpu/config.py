@@ -102,10 +102,11 @@ class MatchConfig:
     step_clip: float = 2.0      # max |translation step| (m) per iteration
     exp_clip: float = 40.0      # clamp on Mahalanobis exponent (f32 safety)
     # Compact quad table: 64 B rows (f32 means + bf16-pair icov/valid)
-    # instead of 128 B. The matcher is gather-bandwidth-bound on TPU, so
-    # this buys ~2x per-iteration time for ~0.4% relative icov error
-    # (immaterial next to eig regularization). Off by default so f64
-    # oracle-parity tests see bit-exact Gaussians.
+    # instead of 128 B — halves the table's HBM footprint at ~0.4% relative
+    # icov error (pose impact 0.17 mm measured). NOTE: measured NO speed
+    # change (the gather is index-rate bound, not byte bound —
+    # docs/PERF.md §3); this is a memory knob for city-scale maps. Off by
+    # default so f64 oracle-parity tests see bit-exact Gaussians.
     compact_table: bool = False
 
 
@@ -126,6 +127,13 @@ class LoopConfig:
     radius: float = 5.0         # candidate search radius (m)
     min_index_gap: int = 30     # min keyframe index separation
     max_candidates: int = 64    # static batch size of verifications per call
+    # Accept at most this many (highest-score) verified loops per query
+    # keyframe. Without a budget, every keyframe in revisited territory
+    # accepts ALL nearby candidates forever (measured: 953 loop factors by
+    # scan 600 of a multi-lap run), overwhelming the incremental smoother
+    # and overflowing factor capacity; real systems keep loop factors
+    # sparse. 0 disables the budget.
+    max_accept_per_query: int = 2
     detect_every: int = 1       # run detection on every k-th keyframe only
     # Windowed pipeline: detection batch covers the first K keyframes of a
     # window (keyframes land every ~2-3 scans, so K = W/2 covers everything
@@ -155,6 +163,14 @@ class SolverConfig:
     relin_threshold: float = 0.05   # relinearize keys whose |delta| exceeds
     inc_iters: int = 2              # GN iterations per incremental update
     full_solve_every: int = 50      # periodic full batched solve
+    # Huber robust kernel threshold (whitened units) for the pipeline
+    # smoother; 0 = plain least squares. Long multi-lap runs accumulate a
+    # few bad loop factors (aliased verifications that pass the score gate,
+    # weighted by overconfident NDT-Hessian information); measured at
+    # T=1000 multi-lap: LS ATE 1.89 m vs 0.24 m with Huber. Residuals near
+    # convergence sit well under this threshold, so short runs behave
+    # identically to least squares.
+    huber_delta: float = 1.5
 
 
 @dataclasses.dataclass(frozen=True)

@@ -130,6 +130,14 @@ def verify_candidates(kf: KeyframeStore, query_points, query_mask, query_pose,
     accept = (cands.mask
               & res.converged
               & (res.score >= loop_cfg.score_gate))
+    # Sparsity budget: keep only the top-K accepted candidates by score
+    # (LoopConfig.max_accept_per_query rationale — unbudgeted acceptance
+    # spams hundreds of redundant factors on revisits).
+    k = loop_cfg.max_accept_per_query
+    if k and k < loop_cfg.max_candidates:
+        ranked = jnp.where(accept, res.score, -jnp.inf)
+        kth = jax.lax.top_k(ranked, k)[0][-1]
+        accept = accept & (ranked >= kth)
     # Information = registration Hessian, clamped SPD (reference: noise(H)).
     h = 0.5 * (res.hessian + jnp.swapaxes(res.hessian, -1, -2))
     eye = jnp.eye(3, dtype=dt)

@@ -131,7 +131,8 @@ def _keyframe_branch(state: SlamState, pts, msk, pose, hessian,
     sm = inc.SmootherState(graph=graph, lam=state.sm_lam,
                            last_max_delta=state.sm_last_delta,
                            step=state.sm_step)
-    sm = inc.incremental_update(sm, cfg.solver)
+    sm = inc.incremental_update(sm, cfg.solver,
+                                huber_delta=cfg.solver.huber_delta)
     graph = sm.graph
 
     # 5. sync keyframe poses from the graph; current pose = newest estimate.
@@ -390,7 +391,8 @@ def _window_backend(state: SlamState, last_kf_reg, poses, hessians, pts, msk,
                            last_max_delta=state.sm_last_delta,
                            step=state.sm_step)
     sm = jax.lax.cond(
-        any_kf, lambda s: inc.incremental_update(s, cfg.solver), lambda s: s,
+        any_kf, lambda s: inc.incremental_update(
+            s, cfg.solver, huber_delta=cfg.solver.huber_delta), lambda s: s,
         sm)
     graph = sm.graph
     kf = kf._replace(poses=graph.poses[: kf.capacity])

@@ -80,3 +80,33 @@ def test_no_candidates_all_rejected():
                                     NDTMapConfig(), MatchConfig())
     assert not bool(jnp.any(res.accept))
     assert not bool(jnp.any(jnp.isnan(res.z)))
+
+
+def test_accept_budget_keeps_top_scores():
+    """max_accept_per_query: with many verifiable candidates only the
+    highest-score K become factors (loop-factor sparsity on revisits)."""
+    import dataclasses
+
+    world = synth.box_world(half=10.0)
+    kf, poses, angles = _store_along_line(world)
+    query_pose = jnp.asarray(poses[1], jnp.float32)
+    r = synth.simulate_scans(world, query_pose[None], angles, 15.0, 0.005,
+                             jax.random.PRNGKey(99))[0]
+    qpts, qmsk = synth.polar_to_xy(r, angles, 0.1, 15.0)
+
+    unbudgeted = dataclasses.replace(LOOP, max_accept_per_query=0)
+    budget1 = dataclasses.replace(LOOP, max_accept_per_query=1)
+    res_all = closure.detect_loops(kf, qpts, qmsk, query_pose,
+                                   jnp.asarray(8, jnp.int32), unbudgeted,
+                                   NDTMapConfig(), MatchConfig())
+    res_one = closure.detect_loops(kf, qpts, qmsk, query_pose,
+                                   jnp.asarray(8, jnp.int32), budget1,
+                                   NDTMapConfig(), MatchConfig())
+    n_all = int(jnp.sum(res_all.accept))
+    n_one = int(jnp.sum(res_one.accept))
+    assert n_all >= 2, n_all            # several candidates verify here
+    assert n_one == 1, n_one
+    # The survivor is the best-scoring accepted candidate.
+    best = float(jnp.max(jnp.where(res_all.accept, res_all.score, -jnp.inf)))
+    kept = float(jnp.max(jnp.where(res_one.accept, res_one.score, -jnp.inf)))
+    assert abs(kept - best) < 1e-6, (kept, best)
