@@ -381,7 +381,11 @@ def _window_backend(state: SlamState, last_kf_reg, poses, hessians, pts, msk,
     else:
         nl_out = jnp.zeros((w,), jnp.int32)
 
-    kf_idx_out = jnp.where(cum > 0, jnp.minimum(slot, cap_v - 1),
+    # Anchor index per scan: the last APPENDED keyframe at-or-before it
+    # (cum over `ok`, not `is_kf` — capacity-dropped keyframes must not be
+    # referenced; anchor_reg above is already `ok`-based via gov).
+    cum_ok = jnp.cumsum(ok.astype(jnp.int32))
+    kf_idx_out = jnp.where(cum_ok > 0, state.graph.n_poses + cum_ok - 1,
                            state.last_kf_idx)
     rel_out = se2.between(anchor_reg, poses)
 
