@@ -4,12 +4,20 @@ Capability parity (SURVEY.md §4.1 "Main SLAM loop", frontend half): for each
 scan — predict from odometry, register against the current NDT map, spawn a
 keyframe on distance/angle thresholds, fold keyframe scans into the map.
 
-TPU-first design: the whole sequence is ONE ``lax.scan`` over time steps with
-the dense map statistics as the carry — the map update is a masked
-``segment_sum`` (a rejected keyframe contributes weight 0), so there is no
-data-dependent control flow and the entire T-scan run compiles to a single
-XLA program. The reference runs this loop scan-by-scan on the host
-(SURVEY.md §4.1); here host↔device traffic is one transfer in, one out.
+Two TPU-first formulations of the same capability:
+
+- :func:`run_odometry` — the whole sequence is ONE ``lax.scan`` over time
+  steps with the dense map statistics as the carry; map updates are masked
+  ``segment_sum``s, so a T-scan run compiles to a single XLA program with
+  one transfer in, one out (the reference loops scan-by-scan on the host).
+- :func:`run_odometry_windowed` — the fast path: W scans register per
+  batched LM dispatch against a per-window frozen map (quad table packed
+  once per window), with a refresh pass that folds the window's own
+  keyframes back in; everything sequential inside a window (dead-reckoned
+  inits, greedy keyframe selection) is closed-form/log-depth vectorized
+  because carried tiny ops cost ~0.7 ms each on this backend
+  (docs/PERF.md §1-2). ~3,000 scans/s end-to-end on a v5e vs ~240 for the
+  per-scan scan-program.
 """
 
 from __future__ import annotations

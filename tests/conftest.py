@@ -30,3 +30,21 @@ except Exception:
 
 assert jax.devices()[0].platform == "cpu", jax.devices()
 assert len(jax.devices()) == 8, jax.devices()
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules.
+
+    The full suite compiles ~100 distinct XLA programs in one process; with
+    everything retained, the XLA CPU compiler deterministically aborts
+    around the ~70th compilation (reproduced twice at the same test, while
+    the same file passes in a fresh process). Dropping executable caches at
+    module boundaries keeps the process inside whatever compiler resource
+    limit is being hit, at the cost of re-tracing shared helpers.
+    """
+    yield
+    jax.clear_caches()
