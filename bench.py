@@ -153,11 +153,11 @@ def main():
         p, m, nm, i, grid, mcfg))
 
     t0 = time.perf_counter()
-    out = fn(spts, smsk, ndt_map, init)
-    jax.block_until_ready(out.pose)
+    out0 = fn(spts, smsk, ndt_map, init)
+    jax.block_until_ready(out0.pose)
     log(f"headline compile+first: {time.perf_counter() - t0:.1f}s; "
-        f"converged {int(jnp.sum(out.converged))}/{batch}, "
-        f"mean iters {float(jnp.mean(out.n_iter)):.1f}")
+        f"converged {int(jnp.sum(out0.converged))}/{batch}, "
+        f"mean iters {float(jnp.mean(out0.n_iter)):.1f}")
 
     rng = np.random.default_rng()        # fresh values every run: the
     reps = 8                             # result cache persists ACROSS
@@ -219,8 +219,8 @@ def main():
         p, m, o, ocfg["grid"], NDTMapConfig(), MatchConfig(),
         ocfg["keyframe"], window=8, passes=2))
     t0 = time.perf_counter()
-    r1 = run1(seq.points, seq.mask, seq.odom)
-    jax.block_until_ready(r1.poses)
+    r0 = run1(seq.points, seq.mask, seq.odom)
+    jax.block_until_ready(r0.poses)
     log(f"config1 compile+first: {time.perf_counter() - t0:.1f}s")
     ts1 = []
     for k in range(3):
@@ -231,7 +231,7 @@ def main():
         jax.block_until_ready(r1.poses)
         ts1.append(time.perf_counter() - t0)
     e2e1 = n_scans / float(np.median(ts1))
-    ate1 = float(ate_rmse(r1.poses, seq.gt_poses))
+    ate1 = float(ate_rmse(r0.poses, seq.gt_poses))  # first-call outputs
     log(f"config1 (odometry): {e2e1:.0f} scans/s e2e, ATE {ate1:.4f} m")
     extra["slam_config1_scans_per_s"] = round(e2e1, 1)
     extra["slam_config1_ate_m"] = round(ate1, 4)
@@ -241,8 +241,8 @@ def main():
         run = jax.jit(lambda p, m, o: pipeline.run_slam_windowed(p, m, o,
                                                                  cfg))
         t0 = time.perf_counter()
-        st, outs = run(seq.points, seq.mask, seq.odom)
-        jax.block_until_ready(st.pose)
+        st0, outs0 = run(seq.points, seq.mask, seq.odom)
+        jax.block_until_ready(st0.pose)
         log(f"{label} compile+first: {time.perf_counter() - t0:.1f}s")
         reps, ts_e = 3, []
         for k in range(reps):
@@ -255,7 +255,10 @@ def main():
             jax.block_until_ready(st.pose)
             ts_e.append(time.perf_counter() - t0)
         warm = float(np.median(ts_e))
-        traj = pipeline.recover_trajectory(st, outs)
+        # Correctness outputs from the FIRST call: a fake-fast repeat can
+        # return wrong buffers (docs/PERF.md trap 4).
+        st = st0
+        traj = pipeline.recover_trajectory(st0, outs0)
         ate = float(ate_rmse(traj, seq.gt_poses))
         e2e = n_scans / warm
         log(f"{label}: {e2e:.0f} scans/s e2e, ATE {ate:.4f} m, "

@@ -166,11 +166,12 @@ class SolverConfig:
     # Huber robust kernel threshold (whitened units) for the pipeline
     # smoother; 0 = plain least squares. Long multi-lap runs accumulate a
     # few bad loop factors (aliased verifications that pass the score gate,
-    # weighted by overconfident NDT-Hessian information); measured at
-    # T=1000 multi-lap: LS ATE 1.89 m vs 0.24 m with Huber. Residuals near
-    # convergence sit well under this threshold, so short runs behave
-    # identically to least squares.
-    huber_delta: float = 1.5
+    # weighted by overconfident NDT-Hessian information); measured ATE at
+    # T=1000 multi-lap: LS 1.89 m, delta=1.5 -> 0.24 m, delta=5 -> 0.075 m,
+    # while T=300 is identical (0.049) for every delta incl. LS — a larger
+    # delta keeps legitimate fresh-loop corrections at full weight and only
+    # caps gross outliers.
+    huber_delta: float = 5.0
 
 
 @dataclasses.dataclass(frozen=True)
