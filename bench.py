@@ -266,6 +266,27 @@ def main():
         extra[f"slam_{label}_scans_per_s"] = round(e2e, 1)
         extra[f"slam_{label}_ate_m"] = round(ate, 4)
 
+    # === 3b. multi-lap robustness: 1000 scans, 3.5 laps (ATE only) ==========
+    # Guards the round-3 findings (loop-factor budget + Huber smoothing,
+    # docs/PERF.md §5): without them this run lands at 1.9 m, with them
+    # ~0.08 m. Single run, first-call outputs (no timing - trap 4).
+    mcfg3 = PipelineConfig(use_loop_closure=True, **pcfg_base)
+    traj_ml = synth.rectangle_trajectory(1000, half=7.0, step=0.2)
+    seq_ml = synth.make_sequence(sworld, traj_ml, n_beams=360, max_range=20.0,
+                                 min_range=0.1, seed=7, odom_trans_std=0.04,
+                                 odom_rot_std=0.01)
+    run_ml = jax.jit(lambda p, m, o: pipeline.run_slam_windowed(p, m, o,
+                                                                mcfg3))
+    t0 = time.perf_counter()
+    st_ml, outs_ml = run_ml(seq_ml.points, seq_ml.mask, seq_ml.odom)
+    jax.block_until_ready(st_ml.pose)
+    ate_ml = float(ate_rmse(pipeline.recover_trajectory(st_ml, outs_ml),
+                            seq_ml.gt_poses))
+    log(f"multilap (1000 scans, 3.5 laps): ATE {ate_ml:.4f} m, "
+        f"loops {int(st_ml.n_loops)} "
+        f"(compile+run {time.perf_counter() - t0:.1f}s)")
+    extra["slam_multilap1000_ate_m"] = round(ate_ml, 4)
+
     # === 4. BA solve ms/iter at 10k poses (config 4) ========================
     data = g2o.manhattan_world(10000, seed=0, loop_prob=0.1)
     g = g2o.to_graph(data, dtype=jnp.float32)
