@@ -290,9 +290,13 @@ def main():
     # === 4. BA solve ms/iter at 10k poses (config 4) ========================
     data = g2o.manhattan_world(10000, seed=0, loop_prob=0.1)
     g = g2o.to_graph(data, dtype=jnp.float32)
-    rng = np.random.default_rng(0)
+    # Separate SEEDED generator for the deterministic graph perturbation —
+    # `rng` stays the unseeded one so the per-rep timing jiggles below are
+    # fresh every run (reusing the seeded one made them byte-identical
+    # across runs: the exact cross-process result-cache trap, ADVICE r3).
+    rng_g = np.random.default_rng(0)
     g = g._replace(poses=g.poses + jnp.asarray(
-        rng.normal(0, 0.05, g.poses.shape), jnp.float32))
+        rng_g.normal(0, 0.05, g.poses.shape), jnp.float32))
     plan = sn.plan_supernodal(g, 64)
     step = jax.jit(lambda g_, lam: sn.supernodal_delta(
         g_, fct.linearize(g_), plan, lam))
@@ -349,6 +353,26 @@ def main():
         f"settled {skip_ms:.2f} ms")
     extra["incremental_update_ms_10k"] = round(inc_ms, 2)
     extra["incremental_settled_ms_10k"] = round(skip_ms, 3)
+
+    # === 6. weak-scaling rehearsal (config 5, BASELINE ">=80% at 2+ hosts") ==
+    # N real OS processes (jax.distributed over localhost), factor SoA
+    # sharded so each process linearizes only its slice, every process
+    # pinned to 1 core (identical resources incl. the 1p baseline — the
+    # honest single-host emulation of N hosts; see bench_weak_scaling.py).
+    try:
+        from benchmarks.bench_weak_scaling import run as weak_run
+        recs = weak_run(base=800, max_p=2, cores_per_proc=1)
+        eff2 = recs[2]["efficiency_vs_1p"]
+        log(f"weak scaling rehearsal: eff(2p) {eff2:.3f} "
+            f"(solve {recs[1]['solve_s']:.3f}s -> {recs[2]['solve_s']:.3f}s, "
+            f"psum floor {recs[2]['psum_s']*1e3:.1f} ms)")
+        extra["weak_scaling_eff_2p"] = eff2
+        extra["weak_scaling_solve_s_1p"] = recs[1]["solve_s"]
+        extra["weak_scaling_solve_s_2p"] = recs[2]["solve_s"]
+        extra["weak_scaling_psum_ms_2p"] = round(recs[2]["psum_s"] * 1e3, 2)
+    except Exception as e:          # never lose the headline to a rehearsal
+        log(f"weak scaling rehearsal FAILED: {e!r}")
+        extra["weak_scaling_eff_2p"] = None
 
     print(json.dumps({
         "metric": "ndt_registration_throughput",

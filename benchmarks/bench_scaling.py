@@ -61,9 +61,11 @@ def main():
         mesh = dist.space_mesh(d)
         lam = jnp.asarray(1e-3, jnp.float32)
 
+        sd = dist.shard_factor_data(g, plan)
+
         def step(g_):
-            lin = fct.linearize(g_)
-            return dist.schur_delta(mesh, g_, lin, plan, lam)
+            # Shard-local linearization happens inside schur_delta.
+            return dist.schur_delta(mesh, g_, plan, lam, sd=sd)
 
         jax.block_until_ready(step(g))
         t0 = time.perf_counter()

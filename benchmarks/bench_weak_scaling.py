@@ -2,17 +2,28 @@
 
 Real multi-host TPU hardware is not reachable from this machine (one chip
 through a tunnel — SURVEY.md §0), so the >=80% weak-scaling contract cannot
-be measured for real. This script runs the honest single-machine rehearsal:
-N real OS processes (one CPU device each, jax.distributed + collectives)
-solving a Manhattan graph whose size grows with N, and reports
+be measured on real fabric. This script runs the honest single-machine
+rehearsal: N real OS processes (one CPU device each, jax.distributed +
+collectives) solving a Manhattan graph whose size grows with N, and reports
 
     efficiency(N) = solve_time(1 process, V poses)
                   / solve_time(N processes, N*V poses)
 
-CAVEAT printed with the result: the N processes share one host's cores and
-memory bandwidth, so this UNDERSTATES true multi-host efficiency (where each
-process has its own machine); it still exercises the full cross-process
-code path (coordinator, process-spanning mesh, psum over the separator).
+Fairness: every process in every configuration — including the 1-process
+baseline — is pinned to the SAME number of cores (default 1) via taskset,
+emulating "each host is an identical machine". Without pinning the baseline
+gets all cores and the scaled runs share them, which structurally
+understates efficiency (this machine has only 2 cores — the round-3
+16% rehearsal number was dominated by exactly that artifact plus the
+then-replicated linearization, since removed: the factor SoA is now
+sharded and each process linearizes only its slice; see
+ndtpu/dist/schur.py docstring).
+
+Each record also carries ``psum_s`` — the measured cross-process collective
+latency floor for a tiny psum over the same mesh — so the efficiency number
+decomposes into compute vs localhost-gRPC overhead (on a real pod this is
+ICI/DCN, orders of magnitude faster than localhost gRPC through the JAX
+CPU collective path).
 
 Usage: python benchmarks/bench_weak_scaling.py [base_poses] [max_procs]
 """
@@ -20,34 +31,41 @@ Usage: python benchmarks/bench_weak_scaling.py [base_poses] [max_procs]
 from __future__ import annotations
 
 import json
+import os
 import sys
 
-import os as _os
-sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ndtpu.dist.launch import launch_local
 
 
-def main():
-    base = int(sys.argv[1]) if len(sys.argv) > 1 else 800
-    max_p = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-
+def run(base: int = 800, max_p: int = 2, cores_per_proc: int = 1):
+    """Run the rehearsal; returns {n_processes: record} with efficiencies."""
+    n_cores = os.cpu_count() or 1
+    recs = {}
     t1 = None
     n = 1
     while n <= max_p:
-        rec = launch_local(n, n_poses=base * n, port=29520 + n)
+        rec = launch_local(n, n_poses=base * n, port=29520 + n,
+                           cores_per_proc=cores_per_proc)
         if n == 1:
             t1 = rec["solve_s"]
         eff = t1 / rec["solve_s"] if rec["solve_s"] > 0 else float("inf")
-        print(json.dumps({
-            "metric": "weak_scaling_rehearsal", "processes": n,
-            "n_poses": base * n, "solve_s": rec["solve_s"],
-            "efficiency_vs_1p": round(eff, 3),
-            "chi2_after": rec["chi2_after"],
-            "caveat": "N processes share one host; understates multi-host",
-        }), flush=True)
+        rec.update(
+            efficiency_vs_1p=round(eff, 3),
+            cores_per_proc=cores_per_proc,
+            oversubscribed=n * cores_per_proc > n_cores,
+            caveat="single-host rehearsal: localhost gRPC collectives, "
+                   "equal per-process core pinning",
+        )
+        recs[n] = rec
+        print(json.dumps({"metric": "weak_scaling_rehearsal",
+                          "processes": n, "n_poses": base * n, **rec}),
+              flush=True)
         n *= 2
+    return recs
 
 
 if __name__ == "__main__":
-    main()
+    run(int(sys.argv[1]) if len(sys.argv) > 1 else 800,
+        int(sys.argv[2]) if len(sys.argv) > 2 else 2)

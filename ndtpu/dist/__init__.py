@@ -4,13 +4,14 @@ from ndtpu.dist.registration import match_batch_sharded
 from ndtpu.dist.gridmap import (SlabMap, SlabStats, build_slab_stats,
                                 build_slab_stats_psharded, finalize_slab,
                                 match_slab)
-from ndtpu.dist.schur import (SchurPlan, optimize_schur, plan_partition,
-                              schur_delta)
+from ndtpu.dist.schur import (SchurPlan, ShardData, optimize_schur,
+                              plan_partition, schur_delta, shard_factor_data)
 
 __all__ = [
     "batch_mesh", "grid_mesh", "multihost_mesh", "space_mesh",
     "match_batch_sharded",
     "SlabMap", "SlabStats", "build_slab_stats", "build_slab_stats_psharded",
     "finalize_slab", "match_slab",
-    "SchurPlan", "optimize_schur", "plan_partition", "schur_delta",
+    "SchurPlan", "ShardData", "optimize_schur", "plan_partition",
+    "schur_delta", "shard_factor_data",
 ]

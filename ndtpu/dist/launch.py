@@ -105,14 +105,15 @@ def worker_main(argv=None) -> None:
     res = schur.optimize_schur(mesh, g, plan, SolverConfig(max_iter=10))
     chi1 = float(fct.chi2(res.graph))
 
-    # Timing: one distributed Schur GN step (linearize + eliminate + psum +
-    # separator solve + backsubstitute), jitted ONCE and dispatched with
-    # perturbed inputs (identical-input repeats can be served from a cache
-    # on some backends — see bench.py).
+    # Timing: one distributed Schur GN step (shard-local linearize +
+    # eliminate + psum + separator solve + backsubstitute), jitted ONCE and
+    # dispatched with perturbed inputs (identical-input repeats can be
+    # served from a cache on some backends — see bench.py).
     import time
     lam = jnp.asarray(1e-3, g.poses.dtype)
+    sd = schur.shard_factor_data(g, plan)
     step = jax.jit(lambda g_: schur.schur_delta(
-        mesh, g_, fct.linearize(g_), plan, lam))
+        mesh, g_, plan, lam, sd=sd))
     jax.block_until_ready(step(g))
     ts = []
     rng_t = np.random.default_rng()
@@ -125,11 +126,27 @@ def worker_main(argv=None) -> None:
         ts.append(time.perf_counter() - t0)
     step_s = sorted(ts)[len(ts) // 2]
 
+    # Pure collective latency floor: one tiny psum over the same mesh.
+    # Reported alongside solve_s so the rehearsal's efficiency number can
+    # be decomposed into compute vs cross-process-comm overhead.
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as _P
+    tiny = jnp.ones((n_dev, 8), jnp.float32)
+    ps = jax.jit(shard_map(lambda x: jax.lax.psum(x, "space"), mesh=mesh,
+                           in_specs=_P("space"), out_specs=_P("space")))
+    jax.block_until_ready(ps(tiny))
+    ots = []
+    for k in range(5):
+        t0 = time.perf_counter()
+        jax.block_until_ready(ps(tiny + k))
+        ots.append(time.perf_counter() - t0)
+    psum_s = sorted(ots)[len(ots) // 2]
+
     if args.process_id == 0:
         rec = {"num_processes": args.num_processes, "n_devices": n_dev,
                "n_poses": args.n_poses, "chi2_before": chi0,
                "chi2_after": chi1, "iters": int(res.n_iter),
-               "solve_s": round(step_s, 4)}
+               "solve_s": round(step_s, 4), "psum_s": round(psum_s, 4)}
         line = json.dumps(rec)
         print(line, flush=True)
         if args.out:
@@ -156,12 +173,22 @@ def load_graph_npz(path: str):
 
 def launch_local(num_processes: int = 2, n_poses: int = 120,
                  timeout_s: float = 600.0, port: int = 29511,
-                 graph_npz: str = "") -> dict:
+                 graph_npz: str = "", cores_per_proc: int | None = None
+                 ) -> dict:
     """Spawn N local CPU worker processes and return process 0's report.
 
     Each worker is a fresh interpreter with the TPU sitecustomize stripped
     and ``JAX_PLATFORMS=cpu`` (one CPU device per process) — the same code
     path a real >=2-host launch takes, minus the network fabric.
+
+    ``cores_per_proc``: pin worker ``p`` to a disjoint set of that many
+    cores via ``taskset``. For weak-scaling rehearsals pass the SAME value
+    for every process count (including the 1-process baseline) so each
+    process has identical resources — the honest emulation of "each host
+    has its own machine". Unpinned (None), N workers share all cores and
+    the baseline gets N× the per-process compute of the scaled runs, which
+    structurally understates efficiency. Sets are wrapped modulo the core
+    count (oversubscription is the caller's choice).
     """
     repo = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
@@ -172,12 +199,18 @@ def launch_local(num_processes: int = 2, n_poses: int = 120,
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)          # exactly one device per process
     out_path = os.path.join("/tmp", f"ndtpu_launch_{os.getpid()}.json")
+    n_cores = os.cpu_count() or 1
     procs = []
     for pid in range(num_processes):
-        cmd = [sys.executable, "-m", "ndtpu.dist.launch",
-               "--coordinator", f"localhost:{port}",
-               "--num-processes", str(num_processes),
-               "--process-id", str(pid), "--n-poses", str(n_poses)]
+        cmd = []
+        if cores_per_proc:
+            cores = [str((pid * cores_per_proc + c) % n_cores)
+                     for c in range(cores_per_proc)]
+            cmd += ["taskset", "-c", ",".join(cores)]
+        cmd += [sys.executable, "-m", "ndtpu.dist.launch",
+                "--coordinator", f"localhost:{port}",
+                "--num-processes", str(num_processes),
+                "--process-id", str(pid), "--n-poses", str(n_poses)]
         if graph_npz:
             cmd += ["--graph-npz", graph_npz]
         if pid == 0:

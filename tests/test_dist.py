@@ -156,7 +156,7 @@ def test_schur_delta_equals_dense_delta():
     mesh = dist.space_mesh(4)
     lin = fct.linearize(g)
     lam = jnp.asarray(1e-3, jnp.float64)
-    got = dist.schur_delta(mesh, g, lin, plan, lam)
+    got = dist.schur_delta(mesh, g, plan, lam)
     ref = slv.solve_dense(g, lin, lam)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-6, atol=1e-8)
