@@ -20,7 +20,11 @@ execution takes ~40 ms) — the round-2 micro-benchmark's "impossible"
 numbers (VERDICT r2 weak item 3) were exactly this. Every timed section
 below therefore perturbs an input per repetition, and end-to-end runs are
 jit-wrapped so Python re-tracing (~1.3 s per call on this pipeline) never
-pollutes a measurement.
+pollutes a measurement. Round-4 addendum (docs/PERF.md §1 trap 5):
+``jax.block_until_ready`` can return without waiting on this relay for
+some programs (measured: the 300-scan pipeline "completed" in 0.5 ms under
+block-only vs 101 ms real), so every timed rep ends with a HOST READ of a
+small output (``np.asarray``) — a transfer cannot lie about completion.
 
 ``vs_baseline`` integrity (VERDICT r2 item 2a): the single-thread baseline
 (``ndt_numpy.match_vectorized`` — same algorithm/workload/stopping rules,
@@ -167,7 +171,7 @@ def main():
                                  spts.dtype)
         t0 = time.perf_counter()
         out = fn(spts, smsk, ndt_map, i_k)
-        jax.block_until_ready(out.pose)
+        np.asarray(out.pose)            # host read = real fence (trap 5)
         ts.append(time.perf_counter() - t0)
     dt = float(np.median(ts))
     scans_per_s = batch / dt
@@ -220,7 +224,7 @@ def main():
         ocfg["keyframe"], window=8, passes=2))
     t0 = time.perf_counter()
     r0 = run1(seq.points, seq.mask, seq.odom)
-    jax.block_until_ready(r0.poses)
+    np.asarray(r0.poses)
     log(f"config1 compile+first: {time.perf_counter() - t0:.1f}s")
     ts1 = []
     for k in range(3):
@@ -228,7 +232,7 @@ def main():
                                          seq.points.dtype)
         t0 = time.perf_counter()
         r1 = run1(pts_k, seq.mask, seq.odom)
-        jax.block_until_ready(r1.poses)
+        np.asarray(r1.poses)            # host read = real fence (trap 5)
         ts1.append(time.perf_counter() - t0)
     e2e1 = n_scans / float(np.median(ts1))
     ate1 = float(ate_rmse(r0.poses, seq.gt_poses))  # first-call outputs
@@ -242,7 +246,7 @@ def main():
                                                                  cfg))
         t0 = time.perf_counter()
         st0, outs0 = run(seq.points, seq.mask, seq.odom)
-        jax.block_until_ready(st0.pose)
+        np.asarray(outs0.pose)
         log(f"{label} compile+first: {time.perf_counter() - t0:.1f}s")
         reps, ts_e = 3, []
         for k in range(reps):
@@ -252,7 +256,7 @@ def main():
                 rng.normal(0, 1e-5, (1, 1, 1)), seq.points.dtype)
             t0 = time.perf_counter()
             st, outs = run(pts_k, seq.mask, seq.odom)
-            jax.block_until_ready(st.pose)
+            np.asarray(outs.pose)       # host read = real fence (trap 5)
             ts_e.append(time.perf_counter() - t0)
         warm = float(np.median(ts_e))
         # Correctness outputs from the FIRST call: a fake-fast repeat can
@@ -279,7 +283,7 @@ def main():
                                                                 mcfg3))
     t0 = time.perf_counter()
     st_ml, outs_ml = run_ml(seq_ml.points, seq_ml.mask, seq_ml.odom)
-    jax.block_until_ready(st_ml.pose)
+    np.asarray(outs_ml.pose)
     ate_ml = float(ate_rmse(pipeline.recover_trajectory(st_ml, outs_ml),
                             seq_ml.gt_poses))
     log(f"multilap (1000 scans, 3.5 laps): ATE {ate_ml:.4f} m, "
@@ -308,7 +312,7 @@ def main():
             rng.normal(0, 1e-6, (1, 1)), jnp.float32))
         t0 = time.perf_counter()
         out = step(gk, lam)
-        jax.block_until_ready(out)
+        np.asarray(out[0])              # host read = real fence (trap 5)
         ts_b.append(time.perf_counter() - t0)
     ba_ms = float(np.median(ts_b)) * 1e3
     log(f"BA supernodal solve: {ba_ms:.1f} ms/iter at 10k poses")
@@ -331,7 +335,7 @@ def main():
     for k in range(10):
         t0 = time.perf_counter()
         out = upd(jiggle(st))
-        jax.block_until_ready(out.graph.poses)
+        np.asarray(out.graph.poses[0])  # host read = real fence (trap 5)
         ts_i.append(time.perf_counter() - t0)
     inc_ms = float(np.median(ts_i)) * 1e3
     # Settled path: a genuinely CONVERGED graph (zero gradient), so the
@@ -346,7 +350,7 @@ def main():
     for k in range(10):
         t0 = time.perf_counter()
         out = upd(jiggle(st2))
-        jax.block_until_ready(out.graph.poses)
+        np.asarray(out.graph.poses[0])  # host read = real fence (trap 5)
         ts_s.append(time.perf_counter() - t0)
     skip_ms = float(np.median(ts_s)) * 1e3
     log(f"incremental update at 10k poses: active {inc_ms:.1f} ms, "

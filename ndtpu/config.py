@@ -206,6 +206,39 @@ class PipelineConfig:
     # reference-class gate against that. Loop-closure verification is NOT
     # gated (loops legitimately correct large drift). 0 disables.
     odom_gate: float = 1.0
+    # Incremental map refresh (windowed pipeline): instead of rebuilding the
+    # whole map from every keyframe whenever a loop factor lands (the
+    # dominant config-3 cost: ~15 ms x ~25 windows at 300 scans), each
+    # window re-places at most `refresh_top_m` keyframes whose smoothed pose
+    # drifted more than `refresh_eps` from where the map last saw them —
+    # NDT stats are sums, so a scan moves by subtract-at-old-pose +
+    # add-at-new-pose (ndt_grid.add_points weight=-1). Settled keyframes are
+    # never touched (re-rendering the whole map every window measurably
+    # random-walks it: forced rebuild-every-window diverges at 27.7 m ATE
+    # on the 1000-scan multilap). A full rebuild every
+    # `full_rebuild_every`-th smoothing update squashes the f32
+    # subtract/re-add residue. refresh_top_m=0 restores the legacy
+    # rebuild-on-every-accepted-loop behavior.
+    # Map maintenance policy. Default (refresh_top_m=0): full rebuild from
+    # all keyframes whenever a loop factor lands — the policy that stays on
+    # the good attractor across every variant tried (1000-scan multilap ATE
+    # 0.064-0.081); with the half-cell scatter path the rebuild costs ~4 ms,
+    # so it no longer dominates config 3. refresh_top_m>0 switches to the
+    # EXPERIMENTAL incremental top-M refresh (subtract/re-add only moved
+    # keyframes — ndt_grid.add_points weight=-1): algebraically equivalent
+    # (unit-tested to ~1e-7) and ~2x cheaper, but the multilap scenario is
+    # bistable and single boundary-point differences (e.g. a 2-pi theta
+    # wrap changing cos/sin by 1 ulp) measurably flip it into a diverged
+    # attractor (ATE 7.7 m). Use with care; keep eps=0 (skipping
+    # sub-centimeter movers alone collapses loop acceptance 532 -> 66 and
+    # diverges to 74 m).
+    refresh_top_m: int = 0
+    refresh_eps: float = 0.0
+    full_rebuild_every: int = 64
+    # Run the top-M refresh every window instead of only on loop windows
+    # (legacy cadence). Not enabled by default: the loop-window cadence is
+    # the empirically safe one.
+    refresh_always: bool = False
 
     @staticmethod
     def from_json(path: str) -> "PipelineConfig":

@@ -117,16 +117,26 @@ def empty_stats(grid: GridConfig, dtype=jnp.float32) -> NDTStats:
 
 
 def add_points(stats: NDTStats, points: jax.Array, mask: jax.Array,
-               grid: GridConfig) -> NDTStats:
+               grid: GridConfig, weight=1.0) -> NDTStats:
     """Accumulate masked points ``[N, 2]`` into the map statistics.
 
     One ``segment_sum`` over ``G*N`` slots into ``G*C`` segments replaces the
     reference's sequential per-point cell update (SURVEY.md §4.4); XLA sorts
     and coalesces the scatter.
+
+    ``weight=-1.0`` SUBTRACTS the points' contribution: because the stats
+    are plain sums and the transform/product pipeline is deterministic,
+    re-computing a scan's contribution at the same pose yields bitwise the
+    values originally added, so subtract-then-re-add moves a scan to a new
+    pose up to one f32 rounding residue per touched cell (the incremental
+    map-refresh path squashes residue with a periodic full rebuild).
     """
     g, c = grid.overlap, grid.n_cells
+    if g == 4:
+        return _add_points_halfcell(stats, points, mask, grid, weight)
     ids, inb = cell_ids(points, grid)                # [G, N]
-    w = (mask[None, :] & inb).astype(points.dtype)    # [G, N]
+    w = ((mask[None, :] & inb).astype(points.dtype)   # [G, N]
+         * jnp.asarray(weight, points.dtype))
     seg = (ids + jnp.arange(g, dtype=jnp.int32)[:, None] * c).reshape(-1)
     wp = (w[..., None] * points[None, :, :]).reshape(-1, 2)          # [G*N, 2]
     outer = points[:, :, None] * points[:, None, :]                  # [N, 2, 2]
@@ -138,6 +148,51 @@ def add_points(stats: NDTStats, points: jax.Array, mask: jax.Array,
         n=stats.n + dn.reshape(g, c),
         s=stats.s + ds.reshape(g, c, 2),
         ss=stats.ss + dss.reshape(g, c, 2, 2),
+    )
+
+
+def _add_points_halfcell(stats: NDTStats, points, mask, grid: GridConfig,
+                         weight) -> NDTStats:
+    """overlap=4 accumulation via ONE half-cell scatter + dense 2x2 pooling.
+
+    The 4 overlap grids are shifted by half-cell offsets, so a cell of grid
+    ``(gx, gy)`` is exactly the 2x2 block of half-cells starting at
+    ``(2i+gx, 2j+gy)`` on the ``(2ny+1, 2nx+1)`` half-cell lattice — the
+    same derivation :func:`pack_quad` uses for lookup. Scattering the 7
+    moment values once at half-cell resolution and pooling densely replaces
+    4 per-grid scatters: the scatter is index-rate bound on this chip
+    (docs/PERF.md §3), so this is ~4x fewer of the expensive rows while the
+    pooling is cheap dense VPU work. Consistency bonus: the builder now
+    assigns boundary points by the identical half-cell floor the matcher's
+    quad lookup uses.
+    """
+    dt = points.dtype
+    wh, hh = 2 * grid.nx + 1, 2 * grid.ny + 1
+    inv = jnp.asarray(2.0 / grid.cell, dt)
+    fx = jnp.floor((points[:, 0] - grid.x0) * inv)
+    fy = jnp.floor((points[:, 1] - grid.y0) * inv)
+    inb = (fx >= 0) & (fx < wh) & (fy >= 0) & (fy < hh)
+    w = ((mask & inb).astype(dt) * jnp.asarray(weight, dt))          # [N]
+    fid = jnp.clip((fy * wh + fx).astype(jnp.int32), 0, wh * hh - 1)
+    px, py = points[:, 0], points[:, 1]
+    vals = jnp.stack([w, w * px, w * py,
+                      w * px * px, w * px * py, w * py * py], axis=-1)
+    fine = jax.ops.segment_sum(vals, fid, num_segments=wh * hh)
+    fine = fine.reshape(hh, wh, 6)
+
+    shifts = ((0, 0), (1, 0), (0, 1), (1, 1))   # (gx, gy) per _grid_offsets
+    pooled = []
+    for gx, gy in shifts:
+        blk = fine[gy: gy + 2 * grid.ny, gx: gx + 2 * grid.nx]
+        pooled.append(blk.reshape(grid.ny, 2, grid.nx, 2, 6).sum(axis=(1, 3))
+                      .reshape(grid.n_cells, 6))
+    p = jnp.stack(pooled)                                           # [4, C, 6]
+    dss = jnp.stack([p[..., 3], p[..., 4], p[..., 4], p[..., 5]],
+                    axis=-1).reshape(4, grid.n_cells, 2, 2)
+    return NDTStats(
+        n=stats.n + p[..., 0],
+        s=stats.s + p[..., 1:3],
+        ss=stats.ss + dss,
     )
 
 

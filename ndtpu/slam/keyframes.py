@@ -27,24 +27,33 @@ class KeyframeStore(NamedTuple):
     masks: jax.Array    # [K, N] beam validity
     live: jax.Array     # [K] bool — slot holds a real keyframe
     n: jax.Array        # [] int32 — number of live keyframes
+    # Optional per-keyframe local NDT quad table [K, R, L] (sensor frame, so
+    # pose-independent — built once at creation, never invalidated; see
+    # ndtpu.loop.closure.build_local_table). None when loop closure is off.
+    tables: jax.Array | None = None
 
     @property
     def capacity(self) -> int:
         return self.poses.shape[0]
 
 
-def empty_store(capacity: int, n_beams: int, dtype=jnp.float32) -> KeyframeStore:
+def empty_store(capacity: int, n_beams: int, dtype=jnp.float32,
+                table_shape: tuple[int, int] | None = None) -> KeyframeStore:
+    """``table_shape=(rows, lanes)`` allocates the per-keyframe local-map
+    cache (:func:`ndtpu.loop.closure.local_table_shape`)."""
     return KeyframeStore(
         poses=jnp.zeros((capacity, 3), dtype),
         points=jnp.zeros((capacity, n_beams, 2), dtype),
         masks=jnp.zeros((capacity, n_beams), bool),
         live=jnp.zeros((capacity,), bool),
         n=jnp.asarray(0, jnp.int32),
+        tables=(None if table_shape is None
+                else jnp.zeros((capacity,) + tuple(table_shape), dtype)),
     )
 
 
 def add_keyframe(kf: KeyframeStore, pose, points, mask,
-                 enabled=True) -> KeyframeStore:
+                 enabled=True, table=None) -> KeyframeStore:
     """Masked append; ``enabled`` may be a traced bool (keyframe gating)."""
     enabled = jnp.asarray(enabled)
     slot = jnp.minimum(kf.n, kf.capacity - 1)
@@ -60,4 +69,6 @@ def add_keyframe(kf: KeyframeStore, pose, points, mask,
         masks=put(kf.masks, mask),
         live=kf.live.at[slot].set(ok | kf.live[slot]),
         n=kf.n + ok.astype(jnp.int32),
+        tables=(kf.tables if (kf.tables is None or table is None)
+                else put(kf.tables, table)),
     )
