@@ -82,12 +82,24 @@ def _parse_robotlaser(tok):
     k = 9 + n
     # Remission block: the next token is an integer count in the standard
     # dialect; some writers omit the block entirely, in which case the next
-    # token is the (float) laser pose — probe tolerantly.
+    # token is the (float) laser pose. An integer-parseable token alone is
+    # ambiguous (a writer printing laser_x as "0" would shift every pose
+    # field — ADVICE r3), so disambiguate by total token count: a standard
+    # line carries exactly 6 pose + 8 trailer = 14 tokens after the block.
+    n_rem = None
     try:
-        n_rem = int(tok[k])
-        k += 1 + n_rem
+        cand = int(tok[k])
     except ValueError:
-        pass
+        cand = None
+    if cand is not None and cand >= 0:
+        if len(tok) == k + 1 + cand + 14:
+            n_rem = cand                  # standard: counts line up exactly
+        elif len(tok) == k + 14:
+            n_rem = None                  # integer-formatted laser_x, no block
+        elif len(tok) >= k + 1 + cand + 6:
+            n_rem = cand                  # tolerant: nonstandard trailer
+    if n_rem is not None:
+        k += 1 + n_rem
     lp = [float(x) for x in tok[k: k + 3]]
     op = [float(x) for x in tok[k + 3: k + 6]]
     if len(lp) != 3 or len(op) != 3:
@@ -177,7 +189,7 @@ def write_carmen(path: str, log: CarmenLog, style: str = "flaser") -> None:
 
 def to_sequence(log: CarmenLog, fov: float | None = None,
                 min_range: float = 0.1, max_range: float = 50.0,
-                dtype=np.float32):
+                dtype=np.float32, apply_laser_extrinsics: bool = True):
     """Convert a parsed log to the pipeline's input tensors.
 
     Returns ``(points [T, N, 2], mask [T, N], odom [T, 3])`` where odom is
@@ -187,6 +199,14 @@ def to_sequence(log: CarmenLog, fov: float | None = None,
     Beam angles come from the log's ROBOTLASER1 metadata when present;
     ``fov`` overrides it, and the FLASER fallback is the CARMEN SICK
     convention (180-degree sweep centered on the heading — Intel/MIT logs).
+
+    Laser mounting extrinsics (VERDICT r3): CARMEN logs carry both the
+    laser pose and the robot odometry pose in the odometry frame; their
+    per-scan relative transform is the sensor mounting offset. Scan points
+    are moved into the ROBOT frame with it (the pipeline's odometry deltas
+    are robot-frame), so an offset-mounted laser no longer biases
+    registration. ``apply_laser_extrinsics=False`` restores the raw laser
+    frame.
     """
     t, n = log.ranges.shape
     beam_idx = np.arange(n)
@@ -205,6 +225,22 @@ def to_sequence(log: CarmenLog, fov: float | None = None,
     mask = valid_beam & (r > min_range) & (r < 0.999 * hard_max)
     pts = np.stack([r * np.cos(angles), r * np.sin(angles)],
                    axis=-1).astype(dtype)
+
+    lp, op_all = log.laser_pose, log.odom_pose
+    if (apply_laser_extrinsics and np.all(np.isfinite(lp))
+            and not np.allclose(lp, op_all)):
+        # Per-scan T_robot_laser = odom_pose^-1 ∘ laser_pose.
+        c0, s0 = np.cos(op_all[:, 2]), np.sin(op_all[:, 2])
+        dx = lp[:, 0] - op_all[:, 0]
+        dy = lp[:, 1] - op_all[:, 1]
+        tx = (c0 * dx + s0 * dy).astype(dtype)
+        ty = (-s0 * dx + c0 * dy).astype(dtype)
+        dth = (lp[:, 2] - op_all[:, 2] + np.pi) % (2 * np.pi) - np.pi
+        ca = np.cos(dth).astype(dtype)[:, None]
+        sa2 = np.sin(dth).astype(dtype)[:, None]
+        x, y = pts[..., 0], pts[..., 1]
+        pts = np.stack([ca * x - sa2 * y + tx[:, None],
+                        sa2 * x + ca * y + ty[:, None]], axis=-1)
 
     op = log.odom_pose
     deltas = np.zeros((t, 3), dtype)

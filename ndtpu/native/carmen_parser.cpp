@@ -39,6 +39,17 @@ bool next_double(const char*& p, double& out) {
   return true;
 }
 
+// Count remaining whitespace-separated tokens from p (p not advanced).
+int count_tokens(const char* p) {
+  int n = 0;
+  while (true) {
+    while (*p == ' ' || *p == '\t' || *p == '\r' || *p == '\n') ++p;
+    if (!*p) return n;
+    ++n;
+    while (*p && *p != ' ' && *p != '\t' && *p != '\r' && *p != '\n') ++p;
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -77,10 +88,28 @@ void* carmen_parse(const char* path) {
         s.ranges[k] = static_cast<float>(v);
       }
       if (rlaser) {
-        if (!next_double(p, v)) goto bad;  // num remissions
+        // Remission block probe, mirroring the Python parser (ADVICE r3):
+        // the next token is the block's count only in the standard
+        // dialect. Disambiguate from an integer-formatted laser_x by
+        // total token count — a standard line carries exactly 6 pose +
+        // 8 trailer = 14 tokens after the block.
+        const char* p0 = p;
+        if (!next_double(p, v)) goto bad;
         int nr = static_cast<int>(v);
-        for (int k = 0; k < nr; ++k)
-          if (!next_double(p, v)) goto bad;
+        bool integral = (v == static_cast<double>(nr)) && nr >= 0;
+        int after = count_tokens(p);  // tokens after the candidate count
+        bool consume = false;
+        if (integral) {
+          if (after == nr + 14) consume = true;             // standard
+          else if (after == 13) consume = false;            // laser_x == int
+          else if (after >= nr + 6) consume = true;         // tolerant
+        }
+        if (consume) {
+          for (int k = 0; k < nr; ++k)
+            if (!next_double(p, v)) goto bad;
+        } else {
+          p = p0;  // no remission block: token was laser_x
+        }
       }
       for (int k = 0; k < 3; ++k) {
         if (!next_double(p, v)) goto bad;

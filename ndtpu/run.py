@@ -58,7 +58,11 @@ def main(argv=None):
     parser.add_argument("--checkpoint-dir", default=None)
     parser.add_argument("--checkpoint-every", type=int, default=100,
                         help="checkpoint cadence in SCANS (rounded up to "
-                             "whole windows in windowed mode)")
+                             "whole windows in windowed mode). Each save "
+                             "transfers the full SLAM state to host — "
+                             "~tens of MB; through this machine's TPU "
+                             "tunnel that is ~30 s, so keep the cadence "
+                             "coarse here (real hosts: milliseconds)")
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--mode", choices=("windowed", "scan"),
                         default="windowed",
@@ -68,6 +72,12 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     import jax
+
+    # Persistent compile cache: repeat runs skip the ~30 s pipeline compile.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/ndtpu_jax_cache")
+    except Exception:
+        pass
 
     from ndtpu.config import PipelineConfig
     from ndtpu.eval.ate import ate_rmse, rpe
@@ -87,9 +97,21 @@ def main(argv=None):
     print(f"[run] {t_total} scans x {points.shape[1]} beams; "
           f"loop_closure={cfg.use_loop_closure}", file=sys.stderr)
 
-    mgr = (ckpt.CheckpointManager(args.checkpoint_dir,
-                                  every=args.checkpoint_every)
-           if args.checkpoint_dir else None)
+    # Exactly ONE cadence gate per mode (ADVICE r3: double-gating made
+    # windowed checkpoints silently inert): windowed mode gates on window
+    # index in the loop (manager every=1, steps are windows), scan mode
+    # gates in the manager (steps are scans). Prefixes namespace the two
+    # modes' structurally-different states in a shared directory.
+    if args.checkpoint_dir:
+        if args.mode == "windowed":
+            mgr = ckpt.CheckpointManager(args.checkpoint_dir, every=1,
+                                         prefix="ckpt_win_")
+        else:
+            mgr = ckpt.CheckpointManager(args.checkpoint_dir,
+                                         every=args.checkpoint_every,
+                                         prefix="ckpt_scan_")
+    else:
+        mgr = None
 
     state = pipeline.init_slam(cfg, points[0], mask[0])
     records = []
@@ -131,7 +153,8 @@ def main(argv=None):
             dispatch_ts.append(time.perf_counter() - td)
             outs.append(out)
             if mgr is not None and (wi + 1) % every_win == 0:
-                mgr.maybe_save(wi, carry)  # blocks: transfers state to host
+                mgr.maybe_save(wi, carry)  # every=1: this gate is the only
+                #                            cadence; blocks to transfer
         state = carry[0]
         jax.block_until_ready(state.pose)
         dt = time.perf_counter() - t0

@@ -59,16 +59,32 @@ def restore_state(path: str, like: Any) -> Any:
 
 
 class CheckpointManager:
-    """Every-K-keyframes checkpoint rotation (keep the newest ``keep``)."""
+    """Every-K-steps checkpoint rotation (keep the newest ``keep``).
 
-    def __init__(self, directory: str, every: int = 50, keep: int = 3):
+    ``prefix`` namespaces checkpoints by producer (e.g. ``ckpt_win_`` for
+    windowed-mode states vs ``ckpt_scan_`` for per-scan states, whose
+    pytree structures differ): a resume only ever sees checkpoints written
+    by the same mode instead of failing on a structure mismatch (ADVICE
+    r3).
+    """
+
+    def __init__(self, directory: str, every: int = 50, keep: int = 3,
+                 prefix: str = "ckpt_"):
         self.directory = directory
         self.every = every
         self.keep = keep
+        self.prefix = prefix
         os.makedirs(directory, exist_ok=True)
 
     def _path(self, step: int) -> str:
-        return os.path.join(self.directory, f"ckpt_{step:08d}.npz")
+        return os.path.join(self.directory, f"{self.prefix}{step:08d}.npz")
+
+    def _mine(self):
+        n = len(self.prefix)
+        return sorted(
+            f for f in os.listdir(self.directory)
+            if f.startswith(self.prefix) and f.endswith(".npz")
+            and f[n:n + 8].isdigit())
 
     def maybe_save(self, step: int, state: Any) -> bool:
         if step % self.every != 0:
@@ -78,17 +94,14 @@ class CheckpointManager:
         return True
 
     def _gc(self) -> None:
-        ckpts = sorted(f for f in os.listdir(self.directory)
-                       if f.startswith("ckpt_") and f.endswith(".npz"))
-        for f in ckpts[: -self.keep]:
+        for f in self._mine()[: -self.keep]:
             os.remove(os.path.join(self.directory, f))
 
     def latest_step(self) -> int | None:
-        ckpts = sorted(f for f in os.listdir(self.directory)
-                       if f.startswith("ckpt_") and f.endswith(".npz"))
+        ckpts = self._mine()
         if not ckpts:
             return None
-        return int(ckpts[-1][5:13])
+        return int(ckpts[-1][len(self.prefix):len(self.prefix) + 8])
 
     def restore_latest(self, like: Any):
         step = self.latest_step()

@@ -8,11 +8,14 @@ from ndtpu.data import carmen
 
 def _fake_log(t=5, n=181):
     rng = np.random.default_rng(0)
+    odom = np.cumsum(rng.normal(0, 0.1, (t, 3)), axis=0)
     return carmen.CarmenLog(
         ranges=rng.uniform(0.5, 20.0, (t, n)).astype(np.float32),
         n_beams=np.full(t, n, np.int32),
-        laser_pose=rng.normal(0, 1, (t, 3)),
-        odom_pose=np.cumsum(rng.normal(0, 0.1, (t, 3)), axis=0),
+        # Center-mounted laser: laser pose == robot pose (to_sequence now
+        # applies the relative transform as mounting extrinsics).
+        laser_pose=odom.copy(),
+        odom_pose=odom,
         timestamps=np.arange(t, dtype=np.float64),
     )
 
@@ -80,8 +83,10 @@ def test_robotlaser1_real_world_line(tmp_path):
     assert abs(log.fov - 3.141593) < 1e-6
     assert abs(log.log_max_range - 50.0) < 1e-6
 
-    # to_sequence picks angles up from the metadata.
-    pts, mask, odom = carmen.to_sequence(log)
+    # to_sequence picks angles up from the metadata (check in the raw
+    # laser frame: this fixture has a nontrivial mounting offset, which
+    # to_sequence now applies by default).
+    pts, mask, odom = carmen.to_sequence(log, apply_laser_extrinsics=False)
     ang0 = math.atan2(pts[0, 0, 1], pts[0, 0, 0])
     assert abs(ang0 - (-math.pi / 2)) < 1e-5
 
@@ -155,3 +160,71 @@ def test_writer_robotlaser_roundtrip(tmp_path):
     np.testing.assert_allclose(back.odom_pose, log.odom_pose, atol=1e-6)
     assert abs(back.timestamps[0] - 5.5) < 1e-6
     assert abs(back.fov - np.pi) < 1e-5
+
+
+def test_robotlaser1_integer_laser_x_without_remission(tmp_path):
+    """ADVICE r3: a writer printing laser_x as an INTEGER ("0") with no
+    remission block must not be misread as a remission count (which would
+    swallow pose fields). Disambiguated by total token count."""
+    line = ("ROBOTLASER1 0 -1.5708 3.1416 1.5708 30.0 0.01 0 3 "
+            "1.0 2.0 3.0 "
+            "0 6.5 0.1 -0.25 6.4 0.09 "
+            "0.0 0.0 0.0 0.0 0.0 77.5 host 77.6\n")
+    p = tmp_path / "rl4.log"
+    p.write_text(line)
+    log = carmen.read_carmen(str(p))
+    assert log.ranges.shape[0] == 1
+    np.testing.assert_allclose(log.laser_pose[0], [0.0, 6.5, 0.1])
+    np.testing.assert_allclose(log.odom_pose[0], [-0.25, 6.4, 0.09])
+    np.testing.assert_allclose(log.timestamps[0], 77.5)
+
+    from ndtpu import native
+    if native.ndtpu_native_available():
+        nat = native.parse_carmen_native(str(p))
+        np.testing.assert_allclose(nat.laser_pose, log.laser_pose)
+        np.testing.assert_allclose(nat.odom_pose, log.odom_pose)
+        np.testing.assert_allclose(nat.timestamps, log.timestamps)
+
+
+def test_native_no_remission_block_like_python(tmp_path):
+    """ADVICE r3 (medium): the native parser must mirror the Python
+    no-remission probe instead of unconditionally consuming a count."""
+    from ndtpu import native
+    if not native.ndtpu_native_available():
+        import pytest
+        pytest.skip("native library unavailable")
+    line = ("ROBOTLASER1 0 -1.5708 3.1416 1.5708 30.0 0.01 0 3 "
+            "1.0 2.0 3.0 "
+            "5.5 6.5 0.1 5.4 6.4 0.09 "
+            "0.0 0.0 0.0 0.0 0.0 77.5 host 77.6\n")
+    p = tmp_path / "rl5.log"
+    p.write_text(line * 2)
+    py = carmen.read_carmen(str(p))
+    nat = native.parse_carmen_native(str(p))
+    np.testing.assert_allclose(nat.ranges, py.ranges)
+    np.testing.assert_allclose(nat.laser_pose, py.laser_pose)
+    np.testing.assert_allclose(nat.odom_pose, py.odom_pose)
+
+
+def test_to_sequence_applies_laser_extrinsics(tmp_path):
+    """VERDICT r3: a laser mounted 0.3 m forward of the robot origin must
+    shift scan points +0.3 m in robot-frame x (to_sequence previously
+    dropped laser_pose entirely)."""
+    lines = []
+    for k in range(2):
+        op = (1.0 * k, 0.0, 0.0)
+        lp = (1.0 * k + 0.3, 0.0, 0.0)          # laser 0.3 m ahead
+        lines.append(
+            f"FLASER 3 2.0 2.0 2.0 {lp[0]} {lp[1]} {lp[2]} "
+            f"{op[0]} {op[1]} {op[2]} {10.0 + k} host 0.0\n")
+    p = tmp_path / "ext.log"
+    p.write_text("".join(lines))
+    log = carmen.read_carmen(str(p))
+    pts, mask, odom = carmen.to_sequence(log, max_range=50.0)
+    pts_raw, _, _ = carmen.to_sequence(log, max_range=50.0,
+                                       apply_laser_extrinsics=False)
+    np.testing.assert_allclose(pts[..., 0], pts_raw[..., 0] + 0.3,
+                               atol=1e-6)
+    np.testing.assert_allclose(pts[..., 1], pts_raw[..., 1], atol=1e-6)
+    # odometry deltas stay robot-frame
+    np.testing.assert_allclose(odom[1], [1.0, 0.0, 0.0], atol=1e-9)

@@ -61,3 +61,48 @@ def test_cli_scan_mode_per_scan_records(tmp_path):
     lines = [json.loads(line) for line in metrics_path.read_text().splitlines()]
     assert len(lines) == 12  # 11 scan records + summary
     assert "summary" in lines[-1]
+
+
+def _ckpt_cfg(tmp_path):
+    cfg = {
+        "grid": {"x0": -12.0, "y0": -12.0, "cell": 1.0, "nx": 24, "ny": 24,
+                 "overlap": 4},
+        "keyframe": {"capacity": 32},
+        "loop": {"max_candidates": 4, "local_half_extent": 6.0},
+        "solver": {"inc_iters": 1, "pcg_max_iter": 30},
+        "use_loop_closure": False,
+        "n_beams": 90,
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    return cfg_path
+
+
+def test_cli_windowed_checkpoints_are_written(tmp_path):
+    """ADVICE r3 (high): with the default --checkpoint-every (scans) and
+    window=8 the old double gate first coincided around scan 8000 —
+    a windowed run with --checkpoint-dir must produce files for SHORT runs."""
+    cfg_path = _ckpt_cfg(tmp_path)
+    ck = tmp_path / "ckpts"
+    cli.main(["--config", str(cfg_path), "--max-scans", "24",
+              "--checkpoint-dir", str(ck), "--checkpoint-every", "8"])
+    files = sorted(p.name for p in ck.iterdir())
+    assert files and all(f.startswith("ckpt_win_") for f in files), files
+
+
+def test_cli_checkpoint_modes_are_namespaced(tmp_path):
+    """ADVICE r3 (low): scan-mode and windowed-mode states have different
+    pytree structures; sharing a directory must not cross-restore."""
+    cfg_path = _ckpt_cfg(tmp_path)
+    ck = tmp_path / "ckpts"
+    cli.main(["--config", str(cfg_path), "--max-scans", "24",
+              "--checkpoint-dir", str(ck), "--checkpoint-every", "8"])
+    # Resuming in the OTHER mode must not pick up windowed files: it
+    # starts fresh (different prefix) instead of crashing on a structure
+    # mismatch.
+    cli.main(["--config", str(cfg_path), "--max-scans", "12",
+              "--mode", "scan", "--resume",
+              "--checkpoint-dir", str(ck), "--checkpoint-every", "4"])
+    names = sorted(p.name for p in ck.iterdir())
+    assert any(n.startswith("ckpt_win_") for n in names)
+    assert any(n.startswith("ckpt_scan_") for n in names)
