@@ -126,12 +126,15 @@ def main():
 
     # === 1. headline: batched registration throughput =======================
     grid = GridConfig(x0=-32.0, y0=-32.0, cell=0.5, nx=128, ny=128, overlap=4)
-    mcfg = MatchConfig()
+    # Serving headline config (r4): B sweep 256->6.2k, 512->8.9k,
+    # 1024->10.7k, 2048->12.3k, 4096->12.8k scans/s single-phase (knee at
+    # ~2-4k); two-phase matching (phase1 at full width, stragglers
+    # compacted to 128-wide rounds) removes the max-over-batch while_loop
+    # tail (p50=13 vs max=30 iters) for 4096 -> ~19.7k scans/s at
+    # identical convergence (docs/PERF.md §3).
+    mcfg = MatchConfig(phase2_width=128, phase1_iters=16)
     ncfg = NDTMapConfig()
-    n_beams, batch = 720, 1024   # B sweep (honest): 256 -> 6.2k scans/s,
-                                 # 512 -> 8.9k, 1024 -> 10.5k; the gather's
-                                 # per-index cost amortizes sublinearly, so
-                                 # the serving headline uses the big batch.
+    n_beams, batch = 720, 4096
 
     world = synth.box_world(half=28.0)
     angles = synth.beam_angles(n_beams)

@@ -108,6 +108,14 @@ class MatchConfig:
     # docs/PERF.md §3); this is a memory knob for city-scale maps. Off by
     # default so f64 oracle-parity tests see bit-exact Gaussians.
     compact_table: bool = False
+    # Two-phase batched LM (match_batch_packed): the while_loop pays
+    # max-over-batch iterations at full width (p50=13 / max=30 measured on
+    # the serving shape — ~2.2x waste). phase2_width > 0 runs phase1_iters
+    # at full width, then compacts unconverged stragglers into
+    # phase2_width-wide completion rounds. Identical per-element results;
+    # 0 disables (single full-width loop).
+    phase2_width: int = 0
+    phase1_iters: int = 14
 
 
 @dataclasses.dataclass(frozen=True)

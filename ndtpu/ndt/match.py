@@ -295,28 +295,29 @@ def point_terms_quad(poses, x, y, dpx, dpy, rows, w_mask,
     return -wsum, g_vec, h, wsum, w0sum
 
 
-def lm_loop_batch(sgh, init_poses, cfg: MatchConfig) -> MatchResult:
-    """Batched damped-Newton iteration: one ``lax.while_loop`` over the whole
-    batch with per-element masked accept/convergence.
-
-    ``sgh(poses [B,3]) -> (f [B], g [B,3], H [B,3,3], score [B])``. Runs
-    until every element is done (or the iteration cap); finished elements are
-    frozen by per-element masks, so the semantics match ``vmap``-of-
-    :func:`lm_loop` while compiling to ONE loop whose body is a fully
-    batched tensor program — this is where the scans/s/chip headline comes
-    from (SURVEY.md §4.2, BASELINE north star).
-    """
+def _lm_carry_init(sgh, init_poses, cfg: MatchConfig):
     dt = init_poses.dtype
     f0, g0, h0, s0 = sgh(init_poses)
     b = init_poses.shape[0]
+    lam0 = jnp.full((b,), cfg.init_lambda, dt)
+    zero_grad = jnp.sum(jnp.abs(g0), axis=-1) == 0.0
+    return (init_poses, f0, g0, h0, s0, lam0,
+            jnp.zeros((b,), jnp.int32), zero_grad, jnp.zeros((b,), bool))
+
+
+def _lm_run(sgh, carry, cfg: MatchConfig, max_iter: int):
+    """Advance a batched LM carry until every element is done or has spent
+    ``max_iter`` TOTAL iterations (the per-element counter persists across
+    calls — the two-phase matcher resumes a carry on a compacted subset)."""
+    dt = carry[0].dtype
 
     def cond(carry):
         pose, f, g, h, score, lam, it, done, conv = carry
-        return jnp.any((it < cfg.max_iter) & jnp.logical_not(done))
+        return jnp.any((it < max_iter) & jnp.logical_not(done))
 
     def body(carry):
         pose, f, g, h, score, lam, it, done, conv = carry
-        active = (it < cfg.max_iter) & jnp.logical_not(done)
+        active = (it < max_iter) & jnp.logical_not(done)
         delta = jax.vmap(_solve_damped, in_axes=(0, 0, 0, None))(h, g, lam, dt)
         tn = jnp.sqrt(delta[:, 0] ** 2 + delta[:, 1] ** 2)
         scale = jnp.where(tn > cfg.step_clip, cfg.step_clip / tn, 1.0)
@@ -341,14 +342,28 @@ def lm_loop_batch(sgh, init_poses, cfg: MatchConfig) -> MatchResult:
                 it + active.astype(jnp.int32), done | small | stuck,
                 conv | small)
 
-    lam0 = jnp.full((b,), cfg.init_lambda, dt)
-    zero_grad = jnp.sum(jnp.abs(g0), axis=-1) == 0.0
-    carry = (init_poses, f0, g0, h0, s0, lam0,
-             jnp.zeros((b,), jnp.int32), zero_grad, jnp.zeros((b,), bool))
-    pose, f, g, h, score, lam, it, done, conv = jax.lax.while_loop(
-        cond, body, carry)
+    return jax.lax.while_loop(cond, body, carry)
+
+
+def _lm_result(carry) -> MatchResult:
+    pose, f, g, h, score, lam, it, done, conv = carry
     return MatchResult(pose=pose, hessian=h, score=score, n_iter=it,
                        converged=conv & (f < 0.0))
+
+
+def lm_loop_batch(sgh, init_poses, cfg: MatchConfig) -> MatchResult:
+    """Batched damped-Newton iteration: one ``lax.while_loop`` over the whole
+    batch with per-element masked accept/convergence.
+
+    ``sgh(poses [B,3]) -> (f [B], g [B,3], H [B,3,3], score [B])``. Runs
+    until every element is done (or the iteration cap); finished elements are
+    frozen by per-element masks, so the semantics match ``vmap``-of-
+    :func:`lm_loop` while compiling to ONE loop whose body is a fully
+    batched tensor program — this is where the scans/s/chip headline comes
+    from (SURVEY.md §4.2, BASELINE north star).
+    """
+    carry = _lm_carry_init(sgh, init_poses, cfg)
+    return _lm_result(_lm_run(sgh, carry, cfg, cfg.max_iter))
 
 
 def match_batch(points, mask, ndt_map: NDTMap, init_poses, grid: GridConfig,
@@ -375,24 +390,58 @@ def match_batch_packed(points, mask, table, init_poses, grid: GridConfig,
     :func:`ndtpu.ndt.grid.pack_quad` table — the windowed odometry/pipeline
     loops pack ONCE per map change and amortize it over every scan in the
     window (VERDICT r2: the table was being rebuilt inside every match).
+
+    Two-phase mode (``cfg.phase2_width > 0``): the batched LM while_loop
+    pays max-over-batch iterations at FULL batch width (measured p50=13
+    iters but max=30 on the serving shape — ~2.2x theoretical waste), so
+    phase 1 runs ``cfg.phase1_iters`` at full width, then the unconverged
+    stragglers are COMPACTED into ``phase2_width``-wide rounds that run to
+    completion. Per-element results are identical (the LM carry — pose, f,
+    g, H, lambda, iteration count — travels with the element through
+    gather/scatter); only the width the chip pays for the tail changes.
     """
     from ndtpu.ndt.grid import lookup_quad
 
     dt = points.dtype
     mask_f = mask.astype(dt)                                 # [B, N]
     px, py = points[..., 0], points[..., 1]
+    b = init_poses.shape[0]
 
-    def sgh(poses):
-        c = jnp.cos(poses[:, 2])[:, None]
-        s = jnp.sin(poses[:, 2])[:, None]
-        x = c * px - s * py + poses[:, 0, None]
-        y = s * px + c * py + poses[:, 1, None]
-        dpx = -s * px - c * py
-        dpy = c * px - s * py
-        rows, inb = lookup_quad(table, x, y, grid)
-        w_mask = mask_f * inb.astype(dt)
-        f, g, h, wsum, w0sum = point_terms_quad(
-            poses, x, y, dpx, dpy, rows, w_mask, cfg, grid.overlap)
-        return f, g, h, wsum / jnp.maximum(w0sum, 1.0)
+    def make_sgh(spx, spy, smask_f):
+        def sgh(poses):
+            c = jnp.cos(poses[:, 2])[:, None]
+            s = jnp.sin(poses[:, 2])[:, None]
+            x = c * spx - s * spy + poses[:, 0, None]
+            y = s * spx + c * spy + poses[:, 1, None]
+            dpx = -s * spx - c * spy
+            dpy = c * spx - s * spy
+            rows, inb = lookup_quad(table, x, y, grid)
+            w_mask = smask_f * inb.astype(dt)
+            f, g, h, wsum, w0sum = point_terms_quad(
+                poses, x, y, dpx, dpy, rows, w_mask, cfg, grid.overlap)
+            return f, g, h, wsum / jnp.maximum(w0sum, 1.0)
+        return sgh
 
-    return lm_loop_batch(sgh, init_poses.astype(dt), cfg)
+    sgh = make_sgh(px, py, mask_f)
+    c2 = cfg.phase2_width
+    if c2 <= 0 or b <= c2:
+        return lm_loop_batch(sgh, init_poses.astype(dt), cfg)
+
+    carry = _lm_carry_init(sgh, init_poses.astype(dt), cfg)
+    carry = _lm_run(sgh, carry, cfg, min(cfg.phase1_iters, cfg.max_iter))
+
+    def outer_cond(carry):
+        pose, f, g, h, score, lam, it, done, conv = carry
+        return jnp.any(~done & (it < cfg.max_iter))
+
+    def outer_body(carry):
+        done = carry[7]
+        pending = (~done).astype(jnp.int32)
+        _, idx = jax.lax.top_k(pending, c2)      # distinct slots, pending 1st
+        sub = tuple(x[idx] for x in carry)
+        sub_sgh = make_sgh(px[idx], py[idx], mask_f[idx])
+        sub = _lm_run(sub_sgh, sub, cfg, cfg.max_iter)
+        return tuple(x.at[idx].set(sx) for x, sx in zip(carry, sub))
+
+    carry = jax.lax.while_loop(outer_cond, outer_body, carry)
+    return _lm_result(carry)

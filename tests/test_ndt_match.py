@@ -184,3 +184,43 @@ def test_bf16_pair_roundtrip():
     z1, z2 = unpack_bf16_pair(jnp.zeros((4,), jnp.float32))
     assert float(jnp.max(jnp.abs(z1))) == 0.0
     assert float(jnp.max(jnp.abs(z2))) == 0.0
+
+
+def test_two_phase_matches_single_phase():
+    """Two-phase (compacted-straggler) matching must reproduce the
+    single-phase per-element results (same poses/convergence/iterations up
+    to gather/scatter f32 ordering)."""
+    import dataclasses
+
+    import numpy as np
+
+    from ndtpu.data import synth
+    from ndtpu.ndt import grid as ndt_grid
+
+    grid = GridConfig(x0=-16.0, y0=-16.0, cell=0.5, nx=64, ny=64, overlap=4)
+    world = synth.box_world(half=12.0)
+    angles = synth.beam_angles(180)
+    map_poses = synth.rectangle_trajectory(16, half=8.0, step=1.0)
+    rr = synth.raycast(world, map_poses, angles, 20.0)
+    mpts, mmsk = synth.polar_to_xy(rr, angles, 0.1, 20.0)
+    wp = synth.se2.transform(map_poses, mpts)
+    stats = ndt_grid.build_stats(wp.reshape(-1, 2), mmsk.reshape(-1), grid)
+    nmap = ndt_grid.finalize(stats, NDTMapConfig())
+    table = ndt_grid.pack_quad(nmap, grid)
+
+    b = 48
+    poses = synth.rectangle_trajectory(b, half=7.0, step=0.9)
+    r2 = synth.raycast(world, poses, angles, 20.0)
+    spts, smsk = synth.polar_to_xy(r2, angles, 0.1, 20.0)
+    init = poses + jnp.asarray([0.15, -0.1, 0.03], spts.dtype)
+
+    one = m.match_batch_packed(spts, smsk, table, init, grid,
+                               MatchConfig())
+    two = m.match_batch_packed(
+        spts, smsk, table, init, grid,
+        MatchConfig(phase2_width=8, phase1_iters=6))
+    np.testing.assert_array_equal(np.asarray(one.converged),
+                                  np.asarray(two.converged))
+    np.testing.assert_allclose(np.asarray(one.pose), np.asarray(two.pose),
+                               atol=2e-3)
+    assert int(jnp.sum(one.converged)) > b * 3 // 4
