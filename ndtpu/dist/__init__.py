@@ -6,6 +6,7 @@ from ndtpu.dist.gridmap import (SlabMap, SlabStats, build_slab_stats,
                                 match_slab)
 from ndtpu.dist.schur import (SchurPlan, ShardData, optimize_schur,
                               plan_partition, schur_delta, shard_factor_data)
+from ndtpu.dist.slam_dp import run_sessions, run_sessions_sharded
 
 __all__ = [
     "batch_mesh", "grid_mesh", "multihost_mesh", "space_mesh",
@@ -14,4 +15,5 @@ __all__ = [
     "finalize_slab", "match_slab",
     "SchurPlan", "ShardData", "optimize_schur", "plan_partition",
     "schur_delta", "shard_factor_data",
+    "run_sessions", "run_sessions_sharded",
 ]

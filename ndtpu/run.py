@@ -199,6 +199,13 @@ def main(argv=None):
           f"({dt:.1f}s total), keyframes={int(state.kf.n)}, "
           f"loops={int(state.n_loops)}", file=sys.stderr)
 
+    n_drop = int(np.asarray(stacked.n_dropped).sum())
+    if n_drop:
+        print(f"[run] WARNING: {n_drop} keyframe/factor append(s) dropped at "
+              f"capacity — the run is degrading toward open-loop odometry; "
+              f"raise keyframe.capacity (graph capacities scale with it)",
+              file=sys.stderr)
+
     traj = np.asarray(pipeline.recover_trajectory(state, stacked))
 
     if gt is not None:
