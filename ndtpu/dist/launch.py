@@ -59,12 +59,17 @@ def shutdown() -> None:
 
 
 def worker_main(argv=None) -> None:
-    """One worker of the distributed Schur rehearsal (see module docstring)."""
+    """One worker of the distributed rehearsals (see module docstring)."""
     ap = argparse.ArgumentParser()
     ap.add_argument("--coordinator", default="localhost:29511")
     ap.add_argument("--num-processes", type=int, required=True)
     ap.add_argument("--process-id", type=int, required=True)
     ap.add_argument("--n-poses", type=int, default=120)
+    ap.add_argument("--task", choices=("schur", "slam"), default="schur",
+                    help="schur: distributed pose-graph solve; slam: one "
+                         "full windowed SLAM session per process "
+                         "(dist.run_sessions_sharded across the "
+                         "process-spanning mesh)")
     ap.add_argument("--graph-npz", default="",
                     help="optional serialized PoseGraph (ndtpu.dist.launch."
                          "save_graph_npz) to solve instead of Manhattan")
@@ -72,6 +77,11 @@ def worker_main(argv=None) -> None:
     args = ap.parse_args(argv)
 
     initialize(args.coordinator, args.num_processes, args.process_id)
+
+    if args.task == "slam":
+        _slam_worker(args)
+        shutdown()
+        return
 
     import jax
     import jax.numpy as jnp
@@ -155,6 +165,103 @@ def worker_main(argv=None) -> None:
     shutdown()
 
 
+def _slam_worker(args) -> None:
+    """Multi-process multi-session SLAM rehearsal: one full windowed
+    pipeline session per process over the process-spanning ``"batch"``
+    mesh (the north-star "scans/s at N hosts" shape for the pipeline
+    itself — sessions are independent, so the only cross-process artifact
+    is the mesh/sharding bring-up this rehearses).
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ndtpu import dist as ndist
+    from ndtpu.config import (GridConfig, KeyframeConfig, LoopConfig,
+                              PipelineConfig)
+    from ndtpu.data import synth
+    from ndtpu.eval.ate import ate_rmse
+    from ndtpu.slam import pipeline
+
+    n_dev = len(jax.devices())
+    mesh = ndist.batch_mesh()
+    n_scans = max(24, args.n_poses)
+    world = synth.box_world(half=11.0)
+    stacks, gts = [[], [], []], []
+    for k in range(n_dev):                 # identical data on every process
+        traj = synth.rectangle_trajectory(n_scans, half=3.0 + 0.3 * k,
+                                          step=0.3)
+        sq = synth.make_sequence(world, traj, n_beams=120, max_range=20.0,
+                                 min_range=0.1, seed=40 + k,
+                                 odom_trans_std=0.03, odom_rot_std=0.01)
+        for st_, v in zip(stacks, (sq.points, sq.mask, sq.odom)):
+            st_.append(v)
+        gts.append(sq.gt_poses)
+    pts, msk, odo = (jnp.stack(x) for x in stacks)
+    cfg = PipelineConfig(
+        grid=GridConfig(x0=-14.0, y0=-14.0, cell=1.0, nx=28, ny=28,
+                        overlap=4),
+        keyframe=KeyframeConfig(dist_thresh=0.5, angle_thresh=0.3,
+                                capacity=48),
+        loop=LoopConfig(max_candidates=4, local_half_extent=6.0,
+                        min_index_gap=8),
+        n_beams=120, use_loop_closure=True, window=8, window_passes=2)
+
+    t0 = time.perf_counter()
+    st, outs = ndist.run_sessions_sharded(mesh, pts, msk, odo, cfg)
+    # Multi-process outputs are globally sharded: each process may only
+    # read its ADDRESSABLE shard (its own sessions). Fetching it is also
+    # the host-read fence.
+    local = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a.addressable_shards[0].data), (st, outs))
+    st_l, outs_l = local
+    np.asarray(outs_l.pose)
+    dt = time.perf_counter() - t0
+
+    # Per-process report: every process evaluates its own sessions; the
+    # results are gathered host-side via per-process files (sessions are
+    # independent — no collective needed).
+    my = []
+    for k in range(st_l.kf.n.shape[0]):
+        sess = args.process_id * st_l.kf.n.shape[0] + k
+        traj_k = pipeline.recover_trajectory(
+            jax.tree_util.tree_map(lambda a: a[k], st_l),
+            jax.tree_util.tree_map(lambda a: a[k], outs_l))
+        my.append({"session": sess,
+                   "keyframes": int(st_l.kf.n[k]),
+                   "ate": round(float(ate_rmse(traj_k, gts[sess])), 4)})
+    part = (args.out or "/tmp/ndtpu_slam_rehearsal") + f".p{args.process_id}"
+    with open(part, "w") as f:
+        f.write(json.dumps(my))
+
+    if args.process_id == 0:
+        import glob
+        import time as _t
+        base = (args.out or "/tmp/ndtpu_slam_rehearsal") + ".p"
+        sess_rows = list(my)
+        for pid in range(1, args.num_processes):
+            for _ in range(200):                     # wait for peers' files
+                try:
+                    with open(base + str(pid)) as f:
+                        sess_rows += json.loads(f.read())
+                    break
+                except (FileNotFoundError, json.JSONDecodeError):
+                    _t.sleep(0.05)
+        sess_rows.sort(key=lambda r: r["session"])
+        rec = {"task": "slam", "num_processes": args.num_processes,
+               "n_devices": n_dev, "n_scans": n_scans,
+               "compile_and_run_s": round(dt, 2),
+               "keyframes": [r["keyframes"] for r in sess_rows],
+               "ates": [r["ate"] for r in sess_rows]}
+        line = json.dumps(rec)
+        print(line, flush=True)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(line)
+
+
 def save_graph_npz(path: str, graph) -> None:
     """Serialize a PoseGraph to npz (for shipping a problem to workers)."""
     import numpy as np
@@ -173,8 +280,8 @@ def load_graph_npz(path: str):
 
 def launch_local(num_processes: int = 2, n_poses: int = 120,
                  timeout_s: float = 600.0, port: int = 29511,
-                 graph_npz: str = "", cores_per_proc: int | None = None
-                 ) -> dict:
+                 graph_npz: str = "", cores_per_proc: int | None = None,
+                 task: str = "schur") -> dict:
     """Spawn N local CPU worker processes and return process 0's report.
 
     Each worker is a fresh interpreter with the TPU sitecustomize stripped
@@ -210,7 +317,8 @@ def launch_local(num_processes: int = 2, n_poses: int = 120,
         cmd += [sys.executable, "-m", "ndtpu.dist.launch",
                 "--coordinator", f"localhost:{port}",
                 "--num-processes", str(num_processes),
-                "--process-id", str(pid), "--n-poses", str(n_poses)]
+                "--process-id", str(pid), "--n-poses", str(n_poses),
+                "--task", task]
         if graph_npz:
             cmd += ["--graph-npz", graph_npz]
         if pid == 0:

@@ -33,3 +33,16 @@ def test_two_process_schur_converges_and_matches_single_process():
     # Both optimizers drive chi^2 to (near) zero on this well-posed problem.
     assert rec["chi2_after"] <= max(10.0 * max(chi_ref, 1e-9), 1e-6), (
         rec["chi2_after"], chi_ref)
+
+
+def test_two_process_multi_session_slam():
+    """North-star 'N hosts' for the PIPELINE (VERDICT r3 item 5): 2 real OS
+    processes over jax.distributed, one full windowed SLAM session per
+    process via dist.run_sessions_sharded; both sessions must close loops
+    and land at sane ATE."""
+    from ndtpu.dist.launch import launch_local
+
+    rec = launch_local(2, n_poses=48, port=29533, task="slam")
+    assert rec["task"] == "slam" and rec["n_devices"] == 2
+    assert all(k > 5 for k in rec["keyframes"]), rec
+    assert all(a < 0.3 for a in rec["ates"]), rec
