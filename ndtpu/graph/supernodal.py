@@ -45,6 +45,18 @@ class SupernodalPlan(NamedTuple):
     schur: SchurPlan
     perm: np.ndarray       # [V] RCM permutation (position -> original pose)
     n_shards: int
+    # Per-shard LOCAL separator maps (r4): each supernode couples to only a
+    # few separator poses, so the interior-separator block is [ni3, ns_loc3]
+    # per shard instead of [ni3, ns3] against the GLOBAL separator — the
+    # dense global coupling made the Schur contraction the step's dominant
+    # cost (~160 of 235 GFLOP at 10k poses, ~30x more than the sparse
+    # structure needs).
+    ns_loc: int            # padded local separator slots per shard
+    ls_global: np.ndarray  # [P, NSL] global separator slot per local slot
+    ls_mask: np.ndarray    # [P, NSL]
+    i_loc_l: np.ndarray    # [P, F] LOCAL separator slot of endpoint i
+    j_loc_l: np.ndarray    # [P, F]
+    p_loc_l: np.ndarray    # [P, Q]
 
 
 def plan_supernodal(graph: fct.PoseGraph, n_shards: int,
@@ -76,29 +88,68 @@ def plan_supernodal(graph: fct.PoseGraph, n_shards: int,
         inv[bet_i].astype(np.int32), inv[bet_j].astype(np.int32), bet_mask,
         inv[np.asarray(graph.prior_idx)].astype(np.int32),
         np.asarray(graph.prior_mask), v, n_shards)
-    # One-level Schur needs a small separator: the segment-id space of the
-    # interior-separator coupling block must fit int32 (and a huge ns means
-    # the replicated dense separator solve dominates anyway). Fail with
-    # guidance instead of an int32 OverflowError deep in the device step.
     p_dim, ni, ns = plan.fac_idx.shape[0], plan.ni, plan.ns
-    n_is = p_dim * ni * ns * 9
+    # Per-shard LOCAL separator maps: which global separator slots does each
+    # shard's factor/prior set actually touch? (Host-side symbolic work,
+    # once per topology.)
+    p_dim = plan.fac_idx.shape[0]
+    sep_sets = []
+    for s in range(p_dim):
+        slots = set()
+        fm = plan.fac_mask[s]
+        slots.update(plan.i_loc[s][fm & (plan.i_role[s] == 1)].tolist())
+        slots.update(plan.j_loc[s][fm & (plan.j_role[s] == 1)].tolist())
+        pm = plan.pri_mask[s]
+        slots.update(plan.p_loc[s][pm & (plan.p_role[s] == 1)].tolist())
+        sep_sets.append(sorted(slots))
+    ns_loc = max(1, max(len(x) for x in sep_sets))
+    ls_global = np.zeros((p_dim, ns_loc), np.int32)
+    ls_mask = np.zeros((p_dim, ns_loc), bool)
+    local_of = [dict() for _ in range(p_dim)]
+    for s, slots in enumerate(sep_sets):
+        ls_global[s, : len(slots)] = slots
+        ls_mask[s, : len(slots)] = True
+        local_of[s] = {gs: k for k, gs in enumerate(slots)}
+
+    def to_local(role, loc, mask):
+        out = np.zeros_like(loc)
+        for s in range(p_dim):
+            sep_rows = mask[s] & (role[s] == 1)
+            out[s, sep_rows] = [local_of[s][gs]
+                                for gs in loc[s, sep_rows].tolist()]
+        return out.astype(np.int32)
+
+    i_loc_l = to_local(plan.i_role, plan.i_loc, plan.fac_mask)
+    j_loc_l = to_local(plan.j_role, plan.j_loc, plan.fac_mask)
+    p_loc_l = to_local(plan.p_role, plan.p_loc, plan.pri_mask)
+
+    # One-level Schur guards: the coupling block's segment-id space must
+    # fit int32 (now sized by the LOCAL separator width), and a huge global
+    # separator means the replicated [3ns, 3ns] dense solve dominates.
+    # Fail with guidance instead of an OverflowError deep in the step.
+    n_is = p_dim * ni * ns_loc * 9
     if n_is >= 2**31 or ns > 20000:
         raise ValueError(
             f"separator too large for the supernodal path (ns={ns}, "
-            f"coupling ids={n_is:.2e}): this graph partitions poorly at "
-            f"n_shards={n_shards}. Use fewer shards, or the matrix-free "
-            f"PCG solver (ndtpu.graph.solve.optimize(method='pcg')) which "
-            f"scales to 100k+ poses.")
+            f"ns_loc={ns_loc}, coupling ids={n_is:.2e}): this graph "
+            f"partitions poorly at n_shards={n_shards}. Use fewer shards, "
+            f"or the matrix-free PCG solver "
+            f"(ndtpu.graph.solve.optimize(method='pcg')) which scales to "
+            f"100k+ poses.")
+
     # Re-express the plan's variable maps in ORIGINAL pose indices so the
     # device step scatters straight into the unpermuted delta.
     plan = plan._replace(
         int_global=perm[plan.int_global].astype(np.int32),
         sep_global=perm[plan.sep_global].astype(np.int32),
     )
-    return SupernodalPlan(schur=plan, perm=np.asarray(perm), n_shards=n_shards)
+    return SupernodalPlan(schur=plan, perm=np.asarray(perm),
+                          n_shards=n_shards, ns_loc=ns_loc,
+                          ls_global=ls_global, ls_mask=ls_mask,
+                          i_loc_l=i_loc_l, j_loc_l=j_loc_l, p_loc_l=p_loc_l)
 
 
-def _assemble_parts(plan: SchurPlan, ai, aj, r, ap, rp, dt):
+def _assemble_parts(splan: SupernodalPlan, ai, aj, r, ap, rp, dt):
     """Assemble the partitioned normal equations WITHOUT any per-shard
     ``[m, m]`` dense structure.
 
@@ -116,7 +167,9 @@ def _assemble_parts(plan: SchurPlan, ai, aj, r, ap, rp, dt):
     ``segment_sum`` calls over the ~4F ordered endpoint pairs; mismatched
     pair types go to a dead segment that is dropped.
     """
+    plan = splan.schur
     ni, ns = plan.ni, plan.ns
+    ns_loc = splan.ns_loc
     p_dim, fmax = plan.fac_idx.shape
 
     fac_idx = jnp.asarray(plan.fac_idx)
@@ -129,6 +182,9 @@ def _assemble_parts(plan: SchurPlan, ai, aj, r, ap, rp, dt):
     pri_mask = jnp.asarray(plan.pri_mask)
     p_role = jnp.asarray(plan.p_role)
     p_loc = jnp.asarray(plan.p_loc)
+    i_loc_l = jnp.asarray(splan.i_loc_l)
+    j_loc_l = jnp.asarray(splan.j_loc_l)
+    p_loc_l = jnp.asarray(splan.p_loc_l)
 
     fm = fac_mask.astype(dt)
     fa_i = ai[fac_idx] * fm[..., None, None]          # [P, F, 3, 3]
@@ -160,12 +216,20 @@ def _assemble_parts(plan: SchurPlan, ai, aj, r, ap, rp, dt):
     blocks = cat(4).reshape(-1, 9)
     shards = cat(5)
     valid = cat(6)
+    # The B-side LOCAL separator slot for each ordered pair (same B order
+    # as lb above: i, j, i, j, p) — routes interior-separator couplings
+    # into the [ni3, ns_loc3] per-shard block instead of the global-width
+    # [ni3, ns3] one.
+    lb_l = jnp.concatenate([x.reshape(-1) for x in
+                            (i_loc_l, j_loc_l, i_loc_l, j_loc_l, p_loc_l)])
 
     seg = jax.ops.segment_sum
     ii = (ra == 0) & (rb == 0) & valid
     is_ = (ra == 0) & (rb == 1) & valid
     ss = (ra == 1) & (rb == 1) & valid
-    n_ii, n_is, n_ss = p_dim * ni * ni * 9, p_dim * ni * ns * 9, ns * ns * 9
+    n_ii = p_dim * ni * ni * 9
+    n_is = p_dim * ni * ns_loc * 9
+    n_ss = ns * ns * 9
     # Scalar-flat segment ids laid out so the segment_sum output IS the
     # dense [..., 3R, 3C] matrix after a plain reshape: id = ((row*3 + a)
     # * 3C) + col*3 + b. Scattering [K*9] scalars into a flat [n] target
@@ -181,15 +245,14 @@ def _assemble_parts(plan: SchurPlan, ai, aj, r, ap, rp, dt):
         return jnp.where(match[:, None, None], ids, 2 ** 30).reshape(-1)
 
     vals = blocks.reshape(-1)                             # [K*9]
-    blocks33 = blocks.reshape(-1, 3, 3)
     ii_idx = flat_ids(shards * ni + la, lb, ni, ii)
-    is_idx = flat_ids(shards * ni + la, lb, ns, is_)
+    is_idx = flat_ids(shards * ni + la, lb_l, ns_loc, is_)
     ss_idx = flat_ids(la, lb, ns, ss)
     clip = lambda idx, n: jnp.where(idx < n, idx, n)
     h_ii = seg(vals, clip(ii_idx, n_ii), num_segments=n_ii + 1)[:-1].reshape(
         p_dim, 3 * ni, 3 * ni)
     h_is = seg(vals, clip(is_idx, n_is), num_segments=n_is + 1)[:-1].reshape(
-        p_dim, 3 * ni, 3 * ns)
+        p_dim, 3 * ni, 3 * ns_loc)
     h_ss = seg(vals, clip(ss_idx, n_ss), num_segments=n_ss + 1)[:-1].reshape(
         3 * ns, 3 * ns)
 
@@ -228,8 +291,11 @@ def supernodal_delta(graph: fct.PoseGraph, lin, plan: SupernodalPlan, lam):
     dt = ai.dtype
     sp = plan.schur
     v = graph.poses.shape[0]
+    p_dim = sp.fac_idx.shape[0]
+    nsl3 = 3 * plan.ns_loc
+    ns3 = 3 * sp.ns
 
-    h_ii, h_is, h_ss, b_i, b_s = _assemble_parts(sp, ai, aj, r, ap, rp, dt)
+    h_ii, h_is, h_ss, b_i, b_s = _assemble_parts(plan, ai, aj, r, ap, rp, dt)
 
     int_mask = jnp.asarray(sp.int_mask)
     live_i = jnp.repeat(int_mask.astype(dt), 3, axis=1)          # [P, ni3]
@@ -240,16 +306,38 @@ def supernodal_delta(graph: fct.PoseGraph, lin, plan: SupernodalPlan, lam):
     l = jnp.linalg.cholesky(h_ii)                                # [P,ni3,ni3]
     # Invert once (triangular solves against I, the narrow RHS) and apply by
     # MXU matmuls: TPU triangular_solve is substitution-bound, so solving the
-    # wide [ni3, ns3] RHS directly is ~2x slower than inv + GEMM.
+    # wide [ni3, nsl3] RHS directly is ~2x slower than inv + GEMM.
     eye_i = jnp.broadcast_to(jnp.eye(h_ii.shape[-1], dtype=dt), h_ii.shape)
     h_ii_inv = jax.scipy.linalg.cho_solve((l, True), eye_i)
-    w = h_ii_inv @ h_is                                          # [P,ni3,ns3]
+    w = h_ii_inv @ h_is                                          # [P,ni3,nsl3]
     y = jnp.einsum("pij,pj->pi", h_ii_inv, b_i)
 
-    # One fused [ns3, ns3] contraction over all shards (P and ni3 contract
-    # together) — no per-shard [ns3, ns3] intermediates.
-    s_tot = h_ss - jnp.einsum("pij,pik->jk", h_is, w)
-    rhs_tot = b_s - jnp.einsum("pij,pi->j", h_is, y)
+    # Per-shard LOCAL Schur contributions [P, nsl3, nsl3], scattered into
+    # the global separator system by flat segment ids. The previous
+    # formulation contracted against the GLOBAL-width [ni3, ns3] coupling —
+    # ~30x the FLOPs the sparse structure needs (the dominant step cost).
+    s_part = jnp.einsum("pij,pik->pjk", h_is, w)                 # [P,nsl3,nsl3]
+    rhs_part = jnp.einsum("pij,pi->pj", h_is, y)                 # [P, nsl3]
+
+    ls_global = jnp.asarray(plan.ls_global)                      # [P, NSL]
+    ls_mask = jnp.asarray(plan.ls_mask)
+    comp = jnp.arange(3, dtype=jnp.int32)
+    # Global flat row/col index per local component (dead slots -> dropped).
+    gidx = (ls_global[:, :, None] * 3 + comp[None, None, :]).reshape(
+        p_dim, nsl3)                                             # [P, nsl3]
+    gvalid = jnp.repeat(ls_mask, 3, axis=1)                      # [P, nsl3]
+    pair_idx = jnp.where(gvalid[:, :, None] & gvalid[:, None, :],
+                         gidx[:, :, None] * ns3 + gidx[:, None, :],
+                         ns3 * ns3)
+    seg = jax.ops.segment_sum
+    s_red = seg(s_part.reshape(-1), pair_idx.reshape(-1),
+                num_segments=ns3 * ns3 + 1)[:-1].reshape(ns3, ns3)
+    rhs_red = seg(rhs_part.reshape(-1),
+                  jnp.where(gvalid, gidx, ns3).reshape(-1),
+                  num_segments=ns3 + 1)[:-1]
+
+    s_tot = h_ss - s_red
+    rhs_tot = b_s - rhs_red
     diag_ss = jnp.diagonal(h_ss)
 
     sep_mask = jnp.asarray(sp.sep_mask)
@@ -259,7 +347,9 @@ def supernodal_delta(graph: fct.PoseGraph, lin, plan: SupernodalPlan, lam):
     ls = jnp.linalg.cholesky(s_tot)
     x_s = jax.scipy.linalg.cho_solve((ls, True), -rhs_tot)
 
-    x_i = -(y + jnp.einsum("pij,j->pi", w, x_s))                 # [P, ni3]
+    # Back-substitute with each shard's GATHERED local separator solution.
+    x_s_loc = jnp.where(gvalid, x_s[jnp.clip(gidx, 0, ns3 - 1)], 0.0)
+    x_i = -(y + jnp.einsum("pij,pj->pi", w, x_s_loc))            # [P, ni3]
 
     delta = jnp.zeros((v, 3), dt)
     delta = delta.at[jnp.asarray(sp.int_global)].add(
