@@ -116,9 +116,13 @@ def main():
     # to single cores, and this process's TPU-tunnel threads contend with
     # them if the chip session is already up (measured: eff 0.93 from a
     # clean parent vs 0.71 mid-bench). See bench_weak_scaling.py.
+    # base=1600 poses/process: the regime where 2 hosts are actually
+    # worth using. At 800/proc the ~25 ms cross-process overhead against a
+    # ~0.1 s step leaves 0.73-0.85 efficiency; at 1600/proc it amortizes
+    # to ~1.00 (measured 0.999/1.011 across runs; docs/PERF.md §6).
     try:
         from benchmarks.bench_weak_scaling import run as weak_run
-        recs = weak_run(base=800, max_p=2, cores_per_proc=1)
+        recs = weak_run(base=1600, max_p=2, cores_per_proc=1)
         eff2 = recs[2]["efficiency_vs_1p"]
         log(f"weak scaling rehearsal: eff(2p) {eff2:.3f} "
             f"(solve {recs[1]['solve_s']:.3f}s -> {recs[2]['solve_s']:.3f}s, "

@@ -39,30 +39,42 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from ndtpu.dist.launch import launch_local
 
 
-def run(base: int = 800, max_p: int = 2, cores_per_proc: int = 1):
-    """Run the rehearsal; returns {n_processes: record} with efficiencies."""
+def run(base: int = 800, max_p: int = 2, cores_per_proc: int = 1,
+        ladders: int = 2):
+    """Run the rehearsal; returns {n_processes: record} with efficiencies.
+
+    The whole 1..max_p ladder runs ``ladders`` times and each config keeps
+    its FASTEST solve time: host interference on a shared 2-core machine
+    only ever ADDS time (same-build medians straddled 0.71-0.93), so
+    min-over-ladders on both sides of the ratio converges to the true
+    efficiency from below-noise.
+    """
     n_cores = os.cpu_count() or 1
+    best = {}
+    for ladder in range(ladders):
+        n = 1
+        while n <= max_p:
+            rec = launch_local(n, n_poses=base * n,
+                               port=29520 + n + 10 * ladder,
+                               cores_per_proc=cores_per_proc)
+            if n not in best or rec["solve_s"] < best[n]["solve_s"]:
+                best[n] = rec
+            n *= 2
     recs = {}
-    t1 = None
-    n = 1
-    while n <= max_p:
-        rec = launch_local(n, n_poses=base * n, port=29520 + n,
-                           cores_per_proc=cores_per_proc)
-        if n == 1:
-            t1 = rec["solve_s"]
+    t1 = best[1]["solve_s"]
+    for n, rec in sorted(best.items()):
         eff = t1 / rec["solve_s"] if rec["solve_s"] > 0 else float("inf")
         rec.update(
             efficiency_vs_1p=round(eff, 3),
-            cores_per_proc=cores_per_proc,
+            cores_per_proc=cores_per_proc, ladders=ladders,
             oversubscribed=n * cores_per_proc > n_cores,
             caveat="single-host rehearsal: localhost gRPC collectives, "
-                   "equal per-process core pinning",
+                   "equal per-process core pinning, min over ladders",
         )
         recs[n] = rec
         print(json.dumps({"metric": "weak_scaling_rehearsal",
                           "processes": n, "n_poses": base * n, **rec}),
               flush=True)
-        n *= 2
     return recs
 
 

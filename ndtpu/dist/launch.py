@@ -127,14 +127,18 @@ def worker_main(argv=None) -> None:
     jax.block_until_ready(step(g))
     ts = []
     rng_t = np.random.default_rng()
-    for k in range(5):
+    for k in range(9):
         # fresh random jiggle: result cache persists across processes
         gk = g._replace(poses=g.poses + jnp.asarray(
             rng_t.normal(0, 1e-6, (1, 1)), g.poses.dtype))
         t0 = time.perf_counter()
         jax.block_until_ready(step(gk))
         ts.append(time.perf_counter() - t0)
-    step_s = sorted(ts)[len(ts) // 2]
+    # MIN, not median: on a shared 2-core host the rehearsal's step time is
+    # contaminated by whatever else briefly runs; the fastest rep is the
+    # least-interfered estimate on both sides of the efficiency ratio
+    # (run-to-run medians straddled 0.71-0.93 for the same build).
+    step_s = min(ts)
 
     # Pure collective latency floor: one tiny psum over the same mesh.
     # Reported alongside solve_s so the rehearsal's efficiency number can
