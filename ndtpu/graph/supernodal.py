@@ -248,13 +248,20 @@ def _assemble_parts(splan: SupernodalPlan, ai, aj, r, ap, rp, dt):
     ii_idx = flat_ids(shards * ni + la, lb, ni, ii)
     is_idx = flat_ids(shards * ni + la, lb_l, ns_loc, is_)
     ss_idx = flat_ids(la, lb, ns, ss)
-    clip = lambda idx, n: jnp.where(idx < n, idx, n)
-    h_ii = seg(vals, clip(ii_idx, n_ii), num_segments=n_ii + 1)[:-1].reshape(
-        p_dim, 3 * ni, 3 * ni)
-    h_is = seg(vals, clip(is_idx, n_is), num_segments=n_is + 1)[:-1].reshape(
-        p_dim, 3 * ni, 3 * ns_loc)
-    h_ss = seg(vals, clip(ss_idx, n_ss), num_segments=n_ss + 1)[:-1].reshape(
-        3 * ns, 3 * ns)
+    # ONE segment_sum over the disjoint union of the three target spaces
+    # (each ordered pair belongs to exactly one class): the device trace
+    # showed three separate 500k-scalar scatters as the step's dominant
+    # fusions — combining them does the index routing once.
+    n_all = n_ii + n_is + n_ss
+    mark = 2 ** 30                       # flat_ids' no-match sentinel
+    comb = jnp.where(ii_idx < mark, ii_idx,
+                     jnp.where(is_idx < mark, is_idx + n_ii,
+                               jnp.where(ss_idx < mark,
+                                         ss_idx + n_ii + n_is, n_all)))
+    h_all = seg(vals, comb, num_segments=n_all + 1)
+    h_ii = h_all[:n_ii].reshape(p_dim, 3 * ni, 3 * ni)
+    h_is = h_all[n_ii:n_ii + n_is].reshape(p_dim, 3 * ni, 3 * ns_loc)
+    h_ss = h_all[n_ii + n_is:n_all].reshape(3 * ns, 3 * ns)
 
     # Right-hand side: one entry per factor endpoint (A^T r).
     def bvec(role_a, loc_a, blk_a, res, valid):
@@ -271,11 +278,14 @@ def _assemble_parts(splan: SupernodalPlan, ai, aj, r, ap, rp, dt):
         [jnp.reshape(p[k], (-1,) + p[k].shape[2:]) for p in blist])
     rb_a, lb_a, vecs, shards_b, valid_b = (catb(0), catb(1), catb(2),
                                            catb(3), catb(4))
-    bi_idx = jnp.where((rb_a == 0) & valid_b, shards_b * ni + lb_a, p_dim * ni)
-    bs_idx = jnp.where((rb_a == 1) & valid_b, lb_a, ns)
-    b_i = seg(vecs, bi_idx, num_segments=p_dim * ni + 1)[:-1].reshape(
-        p_dim, ni, 3)
-    b_s = seg(vecs, bs_idx, num_segments=ns + 1)[:-1]
+    # One fused scatter for both RHS targets (disjoint classes).
+    nb_i = p_dim * ni
+    b_idx = jnp.where((rb_a == 0) & valid_b, shards_b * ni + lb_a,
+                      jnp.where((rb_a == 1) & valid_b, nb_i + lb_a,
+                                nb_i + ns))
+    b_all = seg(vecs, b_idx, num_segments=nb_i + ns + 1)
+    b_i = b_all[:nb_i].reshape(p_dim, ni, 3)
+    b_s = b_all[nb_i:nb_i + ns]
 
     return (h_ii, h_is, h_ss,
             b_i.reshape(p_dim, 3 * ni), b_s.reshape(3 * ns))
