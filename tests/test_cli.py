@@ -106,3 +106,24 @@ def test_cli_checkpoint_modes_are_namespaced(tmp_path):
     names = sorted(p.name for p in ck.iterdir())
     assert any(n.startswith("ckpt_win_") for n in names)
     assert any(n.startswith("ckpt_scan_") for n in names)
+
+
+def test_solve_g2o_cli_roundtrip(tmp_path):
+    """Standalone pose-graph optimizer CLI (the Pose2SLAMExample_g2o
+    workflow): optimize a Manhattan world, write g2o, re-read at optimum."""
+    import io
+    from contextlib import redirect_stderr
+
+    from ndtpu import solve_g2o
+    from ndtpu.data import g2o as g2o_mod
+    from ndtpu.graph import factors as fct
+    import jax.numpy as jnp
+
+    out = tmp_path / "opt.g2o"
+    solve_g2o.main(["--manhattan", "200", "--max-iter", "25",
+                    "-o", str(out)])
+    data = g2o_mod.read_g2o(str(out))
+    g = g2o_mod.to_graph(data, dtype=jnp.float64)
+    # The written graph must already be at (near) the optimum.
+    chi = float(fct.chi2(g))
+    assert chi < 50.0, chi
