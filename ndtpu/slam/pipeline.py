@@ -49,7 +49,7 @@ class SlamState(NamedTuple):
     last_kf_idx: jax.Array     # [] int32 graph index of the latest keyframe
     n_loops: jax.Array         # [] int32 accepted loop closures so far
     map_kf_poses: jax.Array    # [K, 3] keyframe poses the map was built at
-                               #    (drives cfg.rebuild_shift gating)
+                               #    (drives the refresh staleness ranking)
 
 
 class SlamStepOut(NamedTuple):
