@@ -149,6 +149,17 @@ class LoopConfig:
     # 0 -> detect for every scan slot (W-wide batch, ~2-3x wasted work).
     max_detect_per_window: int = 4
     score_gate: float = 0.30    # min mean per-point NDT score to accept
+    # Innovation gate (perceptual-aliasing defense): reject a verified
+    # loop whose implied correction ||t_match - t_init|| exceeds
+    # ``max_innovation_base + max_innovation_per_kf * index_gap`` — the
+    # accumulated-odometry-drift budget. On a symmetric ring corridor
+    # (the MIT-Killian shape) score-gated NDT verification aliases badly:
+    # measured 94% of accepted loops wrong by ~7 m (median), turning ATE
+    # 2.43 (odometry) into 2.93; true re-entry corrections sit at the
+    # actual drift (~2.4 m here), well inside the budget.
+    # max_innovation_per_kf=0 disables the gate.
+    max_innovation_base: float = 1.0
+    max_innovation_per_kf: float = 0.02
     local_half_extent: float = 15.0  # half-size (m) of per-keyframe local map
     local_cell: float = 1.0
     local_overlap: int = 4

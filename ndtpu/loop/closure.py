@@ -135,7 +135,7 @@ def _local_points(kf: KeyframeStore, j, window: int):
 def verify_candidates(kf: KeyframeStore, query_points, query_mask, query_pose,
                       cands: LoopCandidates, loop_cfg: LoopConfig,
                       ndt_cfg: NDTMapConfig, match_cfg: MatchConfig,
-                      window: int = 1) -> LoopResult:
+                      window: int = 1, query_index=None) -> LoopResult:
     """Batched NDT verification of all candidates in one program.
 
     For each candidate ``j``: build the local NDT map around ``j``, register
@@ -144,6 +144,8 @@ def verify_candidates(kf: KeyframeStore, query_points, query_mask, query_pose,
     """
     lgrid = local_grid_config(loop_cfg)
     dt = query_points.dtype
+    if query_index is None:
+        query_index = kf.n      # append position: the gap upper bound
 
     def one(j):
         pts, msk = _local_points(kf, j, window)
@@ -157,15 +159,30 @@ def verify_candidates(kf: KeyframeStore, query_points, query_mask, query_pose,
         ndt_match.match, in_axes=(None, None, 0, 0, None, None)
     )(query_points, query_mask, maps, init, lgrid, match_cfg)
 
-    return _gate_and_pack(res, cands, loop_cfg, dt)
+    return _gate_and_pack(res, cands, loop_cfg, dt, init, query_index)
 
 
 def _gate_and_pack(res, cands: LoopCandidates, loop_cfg: LoopConfig,
-                   dt) -> LoopResult:
-    """Shared acceptance gate + factor packaging for both verify paths."""
+                   dt, init, query_index) -> LoopResult:
+    """Shared acceptance gate + factor packaging for both verify paths.
+
+    Gates: convergence, score, and the INNOVATION budget — the measured
+    relative pose may differ from the estimate-predicted one by at most
+    the accumulated-odometry-drift allowance for the traversal gap
+    (``max_innovation_base + max_innovation_per_kf * gap``). Without it,
+    perceptual aliasing on self-similar worlds (long corridors) admits
+    consistent-but-wrong loops that drag the graph (docs/PERF.md §8).
+    """
     accept = (cands.mask
               & res.converged
               & (res.score >= loop_cfg.score_gate))
+    if loop_cfg.max_innovation_per_kf > 0:
+        innov = jnp.linalg.norm(res.pose[:, :2] - init[:, :2], axis=-1)
+        gap = jnp.abs(jnp.asarray(query_index, jnp.int32)
+                      - cands.idx).astype(innov.dtype)
+        budget = (loop_cfg.max_innovation_base
+                  + loop_cfg.max_innovation_per_kf * gap)
+        accept = accept & (innov <= budget)
     # Sparsity budget: keep only the top-K accepted candidates by score
     # (LoopConfig.max_accept_per_query rationale — unbudgeted acceptance
     # spams hundreds of redundant factors on revisits).
@@ -188,8 +205,8 @@ def _gate_and_pack(res, cands: LoopCandidates, loop_cfg: LoopConfig,
 
 def verify_candidates_cached(kf: KeyframeStore, query_points, query_mask,
                              query_pose, cands: LoopCandidates,
-                             loop_cfg: LoopConfig,
-                             match_cfg: MatchConfig) -> LoopResult:
+                             loop_cfg: LoopConfig, match_cfg: MatchConfig,
+                             query_index=None) -> LoopResult:
     """Batched verification against the CACHED per-keyframe local tables.
 
     Same measurement semantics as :func:`verify_candidates` (query scan
@@ -202,6 +219,8 @@ def verify_candidates_cached(kf: KeyframeStore, query_points, query_mask,
     assert kf.tables is not None, "KeyframeStore built without tables"
     lgrid = local_grid_config(loop_cfg)
     dt = query_points.dtype
+    if query_index is None:
+        query_index = kf.n      # append position: the gap upper bound
     tables = kf.tables[cands.idx]                                 # [C, R, L]
     init = se2.between(kf.poses[cands.idx], query_pose[None, :])  # [C, 3]
 
@@ -211,7 +230,7 @@ def verify_candidates_cached(kf: KeyframeStore, query_points, query_mask,
         return jax.tree_util.tree_map(lambda a: a[0], r)
 
     res = jax.vmap(one)(tables, init)
-    return _gate_and_pack(res, cands, loop_cfg, dt)
+    return _gate_and_pack(res, cands, loop_cfg, dt, init, query_index)
 
 
 def detect_loops(kf: KeyframeStore, query_points, query_mask, query_pose,
@@ -220,7 +239,8 @@ def detect_loops(kf: KeyframeStore, query_points, query_mask, query_pose,
     """Candidate generation + batched verification in one call (§4.5)."""
     cands = find_candidates(kf, query_pose, query_index, loop_cfg)
     return verify_candidates(kf, query_points, query_mask, query_pose, cands,
-                             loop_cfg, ndt_cfg, match_cfg, window)
+                             loop_cfg, ndt_cfg, match_cfg, window,
+                             query_index=query_index)
 
 
 def detect_loops_cached(kf: KeyframeStore, query_points, query_mask,
@@ -230,4 +250,5 @@ def detect_loops_cached(kf: KeyframeStore, query_points, query_mask,
     production path; see :func:`verify_candidates_cached`)."""
     cands = find_candidates(kf, query_pose, query_index, loop_cfg)
     return verify_candidates_cached(kf, query_points, query_mask, query_pose,
-                                    cands, loop_cfg, match_cfg)
+                                    cands, loop_cfg, match_cfg,
+                                    query_index=query_index)
