@@ -143,6 +143,14 @@ def _active_probe(g: fct.PoseGraph, cfg: SolverConfig, since=None):
     ok = ((~loopy)
           & (jnp.sum(act, dtype=jnp.int32) <= cfg.local_poses)
           & (jnp.sum(touch, dtype=jnp.int32) <= cfg.local_factors))
+    if since is not None:
+        # Fresh-window overflow (ADVICE r4, medium): if more factors landed
+        # since the last update than the fresh window holds, the overflowed
+        # ones are neither seeded into the active set nor span-tested —
+        # the local path would silently skip their corrections (possibly a
+        # buried loop factor). Fall back to the global update instead.
+        k = min(cfg.local_fresh_k, g.bet_mask.shape[0])
+        ok = ok & (g.n_between - since <= k)
     return act, touch, ok
 
 
@@ -266,9 +274,17 @@ def local_update(g: fct.PoseGraph, lam, cfg: SolverConfig,
     The selection (probe + top_k + index maps) is topology-only and
     computed ONCE; each iteration only relinearizes/assembles/solves the
     gathered subproblem.
+
+    Safe degrade (ADVICE r4): when the viability probe fails — the active
+    set or touching-factor set overflows the static capacities, or a fresh
+    factor spans a loop — the step is zeroed and the input ``(graph, lam)``
+    is returned unchanged instead of applying a silently-truncated partial
+    update. Direct callers should prefer :func:`incremental_update`, whose
+    dispatcher routes the failing case to the global path.
     """
     dt = g.poses.dtype
     sel = _local_select(g, cfg, since, probe)
+    okf = sel["ok"].astype(dt)
     _, chi_local = _local_system(g, cfg, huber_delta, sel)
     chi = chi_local(g.poses)
 
@@ -278,7 +294,7 @@ def local_update(g: fct.PoseGraph, lam, cfg: SolverConfig,
 
     def body(_, carry):
         poses, chi, lam, md = carry
-        delta = solve_at(poses, lam)
+        delta = solve_at(poses, lam) * okf
         trial = slv._apply_delta(poses, delta, g.pose_mask)
         chi_t = chi_local(trial)
         accept = chi_t < chi
@@ -290,15 +306,19 @@ def local_update(g: fct.PoseGraph, lam, cfg: SolverConfig,
                          md)
         return poses_n, chi_n, lam_n, md_n
 
+    lam0 = lam
     poses, chi, lam, md = jax.lax.fori_loop(
         0, cfg.inc_iters, body,
         (g.poses, chi, lam, jnp.asarray(0.0, dt)))
+    # Probe failed -> nothing was applied; don't let rejected zero-steps
+    # ratchet lambda up either.
+    lam = jnp.where(sel["ok"], lam, lam0)
     return g._replace(poses=poses), lam, md
 
 
 def incremental_update(state: SmootherState, cfg: SolverConfig,
                        huber_delta: float = 0.0,
-                       fresh_since=None) -> SmootherState:
+                       fresh_since=None, return_take: bool = False):
     """Bounded-cost refinement after new factors were appended to
     ``state.graph`` (the ``ISAM2::update`` role, SURVEY.md §4.3).
 
@@ -311,6 +331,11 @@ def incremental_update(state: SmootherState, cfg: SolverConfig,
     Every ``cfg.full_solve_every``-th update additionally runs a full LM
     optimization (the iSAM2 periodic-batch-relinearization cadence) to
     squeeze out accumulated nonlinearity.
+
+    ``return_take=True`` additionally returns the path taken as an int32
+    code (0 = settled skip, 1 = global warm-started PCG, 2 = k-hop local)
+    so callers can measure how often the bounded-cost property actually
+    engages (VERDICT r4 missing #5).
     """
     g = state.graph
     dt = g.poses.dtype
@@ -325,7 +350,7 @@ def incremental_update(state: SmootherState, cfg: SolverConfig,
         graph, chi, lam, md = jax.lax.fori_loop(
             0, cfg.inc_iters, body,
             (g, chi, lam, jnp.asarray(0.0, dt)))
-        return graph, lam, md
+        return graph, lam, md, jnp.asarray(1, jnp.int32)
 
     if cfg.local_poses > 0:
         # Clique-local bounded path (iSAM2 capability, VERDICT r3 weak 5):
@@ -333,16 +358,18 @@ def incremental_update(state: SmootherState, cfg: SolverConfig,
         # fits the static capacities and no fresh factor closes a loop.
         def do_update(g, lam):
             probe = _active_probe(g, cfg, fresh_since)
-            return jax.lax.cond(
-                probe[2],
-                lambda g, lam: local_update(g, lam, cfg, huber_delta,
-                                            fresh_since, probe=probe),
-                do_global, g, lam)
+
+            def local(g, lam):
+                g2, lam2, md2 = local_update(g, lam, cfg, huber_delta,
+                                             fresh_since, probe=probe)
+                return g2, lam2, md2, jnp.asarray(2, jnp.int32)
+
+            return jax.lax.cond(probe[2], local, do_global, g, lam)
     else:
         do_update = do_global
 
     def skip(g, lam):
-        return g, lam, jnp.asarray(0.0, dt)
+        return g, lam, jnp.asarray(0.0, dt), jnp.asarray(0, jnp.int32)
 
     # Settled-estimate fast path: nothing moved last time -> check whether
     # the *newest* factors actually perturb the solution before solving.
@@ -370,7 +397,7 @@ def incremental_update(state: SmootherState, cfg: SolverConfig,
         return jax.lax.cond(jnp.max(jnp.abs(step)) < cfg.relin_threshold,
                             skip, do_update, g, lam)
 
-    graph, lam, md = jax.lax.cond(
+    graph, lam, md, take = jax.lax.cond(
         settled & fresh_small, skip,
         lambda g, lam: jax.lax.cond(settled, slow_check, do_update, g, lam),
         g, state.lam)
@@ -384,8 +411,9 @@ def incremental_update(state: SmootherState, cfg: SolverConfig,
         graph, lam = jax.lax.cond(
             step % cfg.full_solve_every == 0, full,
             lambda g, lam: (g, lam), graph, lam)
-    return SmootherState(graph=graph, lam=lam, last_max_delta=md,
-                         step=step)
+    out = SmootherState(graph=graph, lam=lam, last_max_delta=md,
+                        step=step)
+    return (out, take) if return_take else out
 
 
 def full_solve(state: SmootherState, cfg: SolverConfig,

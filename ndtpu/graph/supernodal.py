@@ -123,16 +123,22 @@ def plan_supernodal(graph: fct.PoseGraph, n_shards: int,
     j_loc_l = to_local(plan.j_role, plan.j_loc, plan.fac_mask)
     p_loc_l = to_local(plan.p_role, plan.p_loc, plan.pri_mask)
 
-    # One-level Schur guards: the coupling block's segment-id space must
-    # fit int32 (now sized by the LOCAL separator width), and a huge global
-    # separator means the replicated [3ns, 3ns] dense solve dominates.
-    # Fail with guidance instead of an OverflowError deep in the step.
+    # One-level Schur guards: the fused segment_sum routes blocks by
+    # comparing flat ids against the 2**30 no-match sentinel, so the
+    # COMBINED id space n_ii + n_is + n_ss must stay below it (ADVICE r4:
+    # an n_ii >= 2**30 would silently misroute interior blocks into the
+    # is/ss classes — wrong Hessian, no error); and a huge global separator
+    # means the replicated [3ns, 3ns] dense solve dominates. Fail with
+    # guidance instead of a silent corruption deep in the step.
+    n_ii = p_dim * ni * ni * 9
     n_is = p_dim * ni * ns_loc * 9
-    if n_is >= 2**31 or ns > 20000:
+    n_ss = ns * ns * 9
+    if n_ii + n_is + n_ss >= 2**30 or ns > 20000:
         raise ValueError(
-            f"separator too large for the supernodal path (ns={ns}, "
-            f"ns_loc={ns_loc}, coupling ids={n_is:.2e}): this graph "
-            f"partitions poorly at n_shards={n_shards}. Use fewer shards, "
+            f"graph too large for the supernodal path (ns={ns}, "
+            f"ns_loc={ns_loc}, flat ids={n_ii + n_is + n_ss:.2e} vs the "
+            f"2**30 sentinel bound): this graph partitions poorly at "
+            f"n_shards={n_shards}. Use fewer shards, "
             f"or the matrix-free PCG solver "
             f"(ndtpu.graph.solve.optimize(method='pcg')) which scales to "
             f"100k+ poses.")

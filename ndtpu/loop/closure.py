@@ -53,6 +53,11 @@ class LoopResult(NamedTuple):
     sqrt_info: jax.Array  # [C, 3, 3]
     score: jax.Array      # [C] mean per-point NDT score
     accept: jax.Array     # [C] bool — passed the score/convergence gate
+    innov_rej: jax.Array  # [C] bool — verified fine but rejected by the
+                          #     innovation budget (ADVICE r4: surfacing
+                          #     these makes a drift-budget mismatch on a
+                          #     high-drift platform visible instead of
+                          #     silently collapsing accept toward odometry)
 
 
 def local_grid_config(cfg: LoopConfig) -> GridConfig:
@@ -176,12 +181,14 @@ def _gate_and_pack(res, cands: LoopCandidates, loop_cfg: LoopConfig,
     accept = (cands.mask
               & res.converged
               & (res.score >= loop_cfg.score_gate))
+    innov_rej = jnp.zeros_like(accept)
     if loop_cfg.max_innovation_per_kf > 0:
         innov = jnp.linalg.norm(res.pose[:, :2] - init[:, :2], axis=-1)
         gap = jnp.abs(jnp.asarray(query_index, jnp.int32)
                       - cands.idx).astype(innov.dtype)
         budget = (loop_cfg.max_innovation_base
                   + loop_cfg.max_innovation_per_kf * gap)
+        innov_rej = accept & (innov > budget)
         accept = accept & (innov <= budget)
     # Sparsity budget: keep only the top-K accepted candidates by score
     # (LoopConfig.max_accept_per_query rationale — unbudgeted acceptance
@@ -200,7 +207,7 @@ def _gate_and_pack(res, cands: LoopCandidates, loop_cfg: LoopConfig,
     from ndtpu.graph.factors import info_to_sqrt_info
     sqrt_info = info_to_sqrt_info(h)
     return LoopResult(j=cands.idx, z=res.pose, sqrt_info=sqrt_info,
-                      score=res.score, accept=accept)
+                      score=res.score, accept=accept, innov_rej=innov_rej)
 
 
 def verify_candidates_cached(kf: KeyframeStore, query_points, query_mask,

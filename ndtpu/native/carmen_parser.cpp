@@ -39,6 +39,18 @@ bool next_double(const char*& p, double& out) {
   return true;
 }
 
+// True iff the next token is int-formatted (Python int() semantics,
+// ADVICE r4): optional sign + digits only. A float-formatted token like
+// "2.0" (a laser_x of 2.0 m) must NOT be treated as a remission count,
+// matching the Python parser's int(tok) rejection.
+bool int_token(const char* p) {
+  while (*p == ' ' || *p == '\t') ++p;
+  if (*p == '+' || *p == '-') ++p;
+  if (*p < '0' || *p > '9') return false;
+  while (*p >= '0' && *p <= '9') ++p;
+  return *p == '\0' || *p == ' ' || *p == '\t' || *p == '\r' || *p == '\n';
+}
+
 // Count remaining whitespace-separated tokens from p (p not advanced).
 int count_tokens(const char* p) {
   int n = 0;
@@ -96,7 +108,8 @@ void* carmen_parse(const char* path) {
         const char* p0 = p;
         if (!next_double(p, v)) goto bad;
         int nr = static_cast<int>(v);
-        bool integral = (v == static_cast<double>(nr)) && nr >= 0;
+        bool integral = int_token(p0) && (v == static_cast<double>(nr))
+                        && nr >= 0;
         int after = count_tokens(p);  // tokens after the candidate count
         bool consume = false;
         if (integral) {

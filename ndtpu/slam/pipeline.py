@@ -64,6 +64,15 @@ class SlamStepOut(NamedTuple):
     # stores fill would otherwise quietly degrade into open-loop odometry;
     # run.py warns when the total is nonzero.
     n_dropped: jax.Array   # [] int32
+    # Verified-but-innovation-rejected loop candidates at this step
+    # (ADVICE r4): a persistently large total means the odometry-drift
+    # budget (LoopConfig.max_innovation_*) is mistuned for the platform.
+    n_innov_rej: jax.Array  # [] int32
+    # Smoother path taken at this step's update (VERDICT r4 missing #5):
+    # 0 = settled skip / no update ran, 1 = global warm-started PCG,
+    # 2 = k-hop local bounded-cost. Windowed runs broadcast the window's
+    # code to its scans.
+    local_take: jax.Array   # [] int32
 
 
 def init_slam(cfg: PipelineConfig, first_points, first_mask,
@@ -172,8 +181,10 @@ def _keyframe_branch(state: SlamState, pts, msk, pose, hessian,
 
         graph = jax.lax.fori_loop(0, cfg.loop.max_candidates, append, graph)
         n_new = jnp.sum(loops.accept, dtype=jnp.int32)
+        n_innov = jnp.sum(loops.innov_rej, dtype=jnp.int32)
     else:
         n_new = jnp.asarray(0, jnp.int32)
+        n_innov = jnp.asarray(0, jnp.int32)
 
     # Capacity-saturation count: appends above are masked, so compare the
     # post-append cursors against what SHOULD have been appended.
@@ -186,9 +197,10 @@ def _keyframe_branch(state: SlamState, pts, msk, pose, hessian,
     sm = inc.SmootherState(graph=graph, lam=state.sm_lam,
                            last_max_delta=state.sm_last_delta,
                            step=state.sm_step)
-    sm = inc.incremental_update(sm, cfg.solver,
-                                huber_delta=cfg.solver.huber_delta,
-                                fresh_since=state.graph.n_between)
+    sm, take = inc.incremental_update(sm, cfg.solver,
+                                      huber_delta=cfg.solver.huber_delta,
+                                      fresh_since=state.graph.n_between,
+                                      return_take=True)
     graph = sm.graph
 
     # 5. sync keyframe poses from the graph; current pose = newest estimate.
@@ -218,7 +230,7 @@ def _keyframe_branch(state: SlamState, pts, msk, pose, hessian,
         sm_last_delta=sm.last_max_delta, sm_step=sm.step, pose=pose_out,
         last_kf_idx=new_idx, n_loops=state.n_loops + n_new,
         map_kf_poses=mkp,
-    ), n_new, n_drop
+    ), n_new, n_drop, n_innov, take
 
 
 def slam_step(state: SlamState, pts, msk, odom_delta,
@@ -242,9 +254,10 @@ def slam_step(state: SlamState, pts, msk, odom_delta,
 
     def no_kf(st):
         zero = jnp.asarray(0, jnp.int32)
-        return st._replace(pose=pose), zero, zero
+        return st._replace(pose=pose), zero, zero, zero, zero
 
-    new_state, n_new, n_drop = jax.lax.cond(is_kf, kf_branch, no_kf, state)
+    new_state, n_new, n_drop, n_innov, take = jax.lax.cond(
+        is_kf, kf_branch, no_kf, state)
 
     out = SlamStepOut(
         pose=new_state.pose,
@@ -255,6 +268,8 @@ def slam_step(state: SlamState, pts, msk, odom_delta,
         is_keyframe=is_kf,
         n_loops_new=n_new,
         n_dropped=n_drop,
+        n_innov_rej=n_innov,
+        local_take=take,
     )
     return new_state, out
 
@@ -459,9 +474,15 @@ def _window_backend(state: SlamState, last_kf_reg, poses, hessians, pts, msk,
                           axis=1, dtype=jnp.int32)               # [K]
         ld_out = jnp.zeros((w,), jnp.int32).at[sel].add(
             jnp.where(has, ld_rank, 0))                          # [W]
+        # Innovation-budget rejections among this window's queries.
+        ni_rank = jnp.sum(loops.innov_rej & do[:, None], axis=1,
+                          dtype=jnp.int32)                       # [K]
+        ni_out = jnp.zeros((w,), jnp.int32).at[sel].add(
+            jnp.where(has, ni_rank, 0))                          # [W]
     else:
         nl_out = jnp.zeros((w,), jnp.int32)
         ld_out = jnp.zeros((w,), jnp.int32)
+        ni_out = jnp.zeros((w,), jnp.int32)
 
     # Capacity-saturation counters per scan (VERDICT r3 weak 6): keyframes
     # dropped by pose capacity + odometry factors dropped by factor
@@ -482,10 +503,11 @@ def _window_backend(state: SlamState, last_kf_reg, poses, hessians, pts, msk,
     sm = inc.SmootherState(graph=graph, lam=state.sm_lam,
                            last_max_delta=state.sm_last_delta,
                            step=state.sm_step)
-    sm = jax.lax.cond(
+    sm, take = jax.lax.cond(
         any_kf, lambda s: inc.incremental_update(
             s, cfg.solver, huber_delta=cfg.solver.huber_delta,
-            fresh_since=state.graph.n_between), lambda s: s,
+            fresh_since=state.graph.n_between, return_take=True),
+        lambda s: (s, jnp.asarray(0, jnp.int32)),
         sm)
     graph = sm.graph
     kf = kf._replace(poses=graph.poses[: kf.capacity])
@@ -546,7 +568,7 @@ def _window_backend(state: SlamState, last_kf_reg, poses, hessians, pts, msk,
         last_kf_idx=last_idx, n_loops=state.n_loops + n_loops_new,
         map_kf_poses=mkp,
     )
-    return new_state, lkr, kf_idx_out, rel_out, nl_out, nd_out
+    return new_state, lkr, kf_idx_out, rel_out, nl_out, nd_out, ni_out, take
 
 
 def slam_window_step(state: SlamState, last_kf_reg, pts, msk, deltas,
@@ -562,11 +584,13 @@ def slam_window_step(state: SlamState, last_kf_reg, pts, msk, deltas,
     """
     poses, res, is_kf = _window_frontend(state, last_kf_reg, pts, msk,
                                          deltas, cfg, cfg.window_passes)
-    state, last_kf_reg, kf_idx, rel, nl, nd = _window_backend(
+    state, last_kf_reg, kf_idx, rel, nl, nd, ni, take = _window_backend(
         state, last_kf_reg, poses, res.hessian, pts, msk, is_kf, cfg)
+    w = poses.shape[0]
     out = SlamStepOut(pose=poses, kf_idx=kf_idx, rel=rel,
                       score=res.score, is_keyframe=is_kf, n_loops_new=nl,
-                      n_dropped=nd)
+                      n_dropped=nd, n_innov_rej=ni,
+                      local_take=jnp.broadcast_to(take, (w,)))
     return (state, last_kf_reg), out
 
 
