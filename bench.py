@@ -484,18 +484,66 @@ def main():
     s0, o0 = run_one(sessions[0].points, sessions[0].mask, sessions[0].odom)
     np.asarray(o0.pose)                      # compile once
     t0 = time.perf_counter()
-    loops8 = []
+    loops8, ser_ates = [], []
     for k, sq in enumerate(sessions):
         pk = sq.points + jnp.asarray(rng.normal(0, 1e-5, (1, 1, 1)),
                                      sq.points.dtype)
         stk, ok_ = run_one(pk, sq.mask, sq.odom)
         np.asarray(ok_.pose)
         loops8.append(int(stk.n_loops))
+        ser_ates.append(float(ate_rmse(
+            pipeline.recover_trajectory(stk, ok_), sq.gt_poses)))
     dt8 = time.perf_counter() - t0
     agg = n_sess * n_scans / dt8
-    log(f"multi-session SLAM: {n_sess} sessions x {n_scans} scans -> "
-        f"{agg:.0f} aggregate scans/s on 1 chip (loops {loops8})")
+    log(f"multi-session SLAM serialized: {n_sess} x {n_scans} scans -> "
+        f"{agg:.0f} aggregate scans/s (loops {loops8}, "
+        f"ATE mean {np.mean(ser_ates):.4f} max {max(ser_ates):.4f})")
     extra["slam_sessions8_scans_per_s_1chip"] = round(agg, 1)
+    extra["slam_sessions8_ate_mean_serialized"] = round(
+        float(np.mean(ser_ates)), 4)
+    extra["slam_sessions8_ate_max_serialized"] = round(max(ser_ates), 4)
+
+    # 6b. STACKED serving (VERDICT r5 task 1): all 8 sessions through ONE
+    # windowed program per window — S*W registration lanes and S*K*C loop
+    # verifications fuse into wide batched LM calls, the smoother runs as
+    # one flat block-diagonal graph, and the rare-branch conds are hoisted
+    # to batch level (one branch at runtime). docs/PERF.md §9 carries the
+    # per-window budget (a window is LATENCY-bound, ~45 sequential LM/PCG
+    # iterations, which is why the aggregate lands where it does).
+    import dataclasses as _dc
+    from ndtpu.dist import slam_dp
+    scfg8 = slam_dp.serving_config(cfg8)
+    scfg8 = _dc.replace(scfg8, loop=_dc.replace(scfg8.loop,
+                                                max_candidates=4))
+    run_st = jax.jit(lambda p, m, o: slam_dp.run_sessions_stacked(
+        p, m, o, scfg8))
+    P8 = jnp.stack([sq.points for sq in sessions])
+    M8 = jnp.stack([sq.mask for sq in sessions])
+    O8 = jnp.stack([sq.odom for sq in sessions])
+    st8, o8 = run_st(P8, M8, O8)
+    np.asarray(o8.pose)
+    st_ates = [float(ate_rmse(pipeline.recover_trajectory(
+        jax.tree_util.tree_map(lambda a: a[k], st8),
+        jax.tree_util.tree_map(lambda a: a[k], o8)),
+        sessions[k].gt_poses)) for k in range(n_sess)]
+    ts8 = []
+    for r in range(3):
+        pk = P8 + jnp.asarray(rng.normal(0, 1e-5, (1, 1, 1, 1)), P8.dtype)
+        t0 = time.perf_counter()
+        _, o_ = run_st(pk, M8, O8)
+        np.asarray(o_.pose)                 # host read = real fence (trap 5)
+        ts8.append(time.perf_counter() - t0)
+    agg_st = n_sess * n_scans / float(np.median(ts8))
+    log(f"multi-session SLAM stacked: {n_sess} x {n_scans} scans -> "
+        f"{agg_st:.0f} aggregate scans/s on 1 chip "
+        f"(loops {[int(x) for x in np.asarray(st8.n_loops)]}, "
+        f"ATE mean {np.mean(st_ates):.4f} max {max(st_ates):.4f}; "
+        f"serialized: {agg:.0f})")
+    extra["slam_sessions8_stacked_scans_per_s_1chip"] = round(agg_st, 1)
+    extra["slam_sessions8_stacked_timing"] = disp(ts8)
+    extra["slam_sessions8_ate_mean_stacked"] = round(
+        float(np.mean(st_ates)), 4)
+    extra["slam_sessions8_ate_max_stacked"] = round(max(st_ates), 4)
 
     print(json.dumps({
         "metric": "ndt_registration_throughput",

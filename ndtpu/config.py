@@ -163,6 +163,22 @@ class LoopConfig:
     local_half_extent: float = 15.0  # half-size (m) of per-keyframe local map
     local_cell: float = 1.0
     local_overlap: int = 4
+    # Verification cost knobs (flat cached path only; the fresh/oracle
+    # paths always verify at full resolution). The verify gather is
+    # index-rate bound (docs/PERF.md §3), so cost scales with
+    # lanes x beams x LM iterations — these trade a little measurement
+    # precision for serving throughput:
+    # verify_max_iter: LM iteration cap for loop verification (0 = use
+    # match.max_iter). Verification inits come from the current pose
+    # estimate (within drift of the truth), so they converge in far fewer
+    # iterations than cold registrations; the while_loop pays
+    # max-over-lanes, so outlier non-matching candidates otherwise set
+    # the iteration bill for everyone.
+    verify_max_iter: int = 0
+    # verify_beam_stride: verify on every k-th beam only (1 = all beams).
+    # The factor's information comes from the subsampled registration's
+    # Hessian, so the downweighting is automatic and honest.
+    verify_beam_stride: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -231,6 +247,13 @@ class PipelineConfig:
     # the window's own keyframes (VERDICT r2 item 1).
     window: int = 8
     window_passes: int = 2
+    # LM iteration cap for refinement passes (pass >= 2) of the windowed
+    # front end; 0 = match.max_iter. Pass-2 starts from pass-1's converged
+    # poses, so it needs only a few polish iterations — but the batched
+    # while_loop pays max-over-lanes, and one frontier-scan straggler
+    # otherwise drags every lane through ~15 sequential iterations
+    # (latency, not FLOPs, is what a window costs; docs/PERF.md).
+    pass2_max_iter: int = 0
     # Odometry innovation gate (m): a registration whose translation differs
     # from its odometry-predicted init by more than this is rejected in favor
     # of the prediction. NDT's matched-mass objective pulls scans at the map

@@ -121,7 +121,8 @@ def _odom_info_sqrt(hessian, dt):
     return fct.info_to_sqrt_info(h)
 
 
-def _refresh_map(stats, kf: kfs.KeyframeStore, mkp, cfg: PipelineConfig):
+def _refresh_map(stats, kf: kfs.KeyframeStore, mkp, cfg: PipelineConfig,
+                 enable=True):
     """Incremental map refresh: re-place the ``refresh_top_m`` stalest
     keyframes (smoothed pose vs. the pose the map last saw them at).
 
@@ -131,6 +132,11 @@ def _refresh_map(stats, kf: kfs.KeyframeStore, mkp, cfg: PipelineConfig):
     dominated config-3 (docs/PERF.md §7). Settled keyframes are never
     touched, which is what keeps the map from random-walking (re-rendering
     everything every window measurably diverges). Returns ``(stats, mkp)``.
+
+    ``enable`` (traced bool) masks the whole refresh to a no-op — the
+    stacked multi-session path runs the refresh under ONE batch-level cond
+    and masks the sessions whose trigger is false (the per-session cond
+    would execute both branches under vmap).
     """
     m_top = min(cfg.refresh_top_m, kf.capacity)
     big = jnp.asarray(1 << 30, jnp.int32)
@@ -138,7 +144,7 @@ def _refresh_map(stats, kf: kfs.KeyframeStore, mkp, cfg: PipelineConfig):
     d_th = jnp.abs(se2.wrap(kf.poses[:, 2:] - mkp[:, 2:]))[:, 0]
     stale = jnp.where(kf.live, jnp.maximum(d_xy, d_th), 0.0)
     val, sel = jax.lax.top_k(stale, m_top)
-    do = val > cfg.refresh_eps                                   # [M]
+    do = (val > cfg.refresh_eps) & enable                        # [M]
     smsk = (kf.masks[sel] & kf.live[sel][:, None]
             & do[:, None]).reshape(-1)
     spts = kf.points[sel]                                        # [M, N, 2]
@@ -316,6 +322,10 @@ def _window_frontend(state: SlamState, last_kf_reg, pts, msk, deltas,
     res = ndt_match.match_batch_packed(pts, msk, table, inits, cfg.grid,
                                        cfg.match)
     poses, _ = gate_poses(res.pose, res.converged, inits, cfg.odom_gate)
+    mcfg2 = cfg.match
+    if cfg.pass2_max_iter > 0:
+        import dataclasses
+        mcfg2 = dataclasses.replace(cfg.match, max_iter=cfg.pass2_max_iter)
     for _ in range(max(0, passes - 1)):
         _, kf_prev = kf_flags(last_kf_reg, poses)
         tmp = ndt_grid.add_points(
@@ -326,15 +336,15 @@ def _window_frontend(state: SlamState, last_kf_reg, pts, msk, deltas,
         prev = jnp.concatenate([state.pose[None], poses[:-1]], axis=0)
         inits2 = se2.compose(prev, deltas)
         res = ndt_match.match_batch_packed(pts, msk, table, inits2, cfg.grid,
-                                           cfg.match)
+                                           mcfg2)
         poses, _ = gate_poses(res.pose, res.converged, inits2, cfg.odom_gate)
     _, is_kf = kf_flags(last_kf_reg, poses)
     return poses, res, is_kf
 
 
-def _window_backend(state: SlamState, last_kf_reg, poses, hessians, pts, msk,
-                    is_kf, cfg: PipelineConfig):
-    """Graph/keyframe/loop work for one registered window (in-graph).
+def _wb_appends(state: SlamState, last_kf_reg, poses, hessians, pts, msk,
+                is_kf, cfg: PipelineConfig):
+    """Window backend stage 1: keyframe/factor appends + loop detection.
 
     Fully vectorized — no per-scan sequential loop (each tiny carried op
     costs ~0.7 ms on this backend, VERDICT r2 item 1): all of the window's
@@ -342,14 +352,15 @@ def _window_backend(state: SlamState, last_kf_reg, poses, hessians, pts, msk,
     slots are a cumsum over the keyframe flags, and the odometry chain
     telescopes, so every node value and between measurement is closed-form),
     loop detection runs as ONE batched dispatch over all W scans (masked to
-    the actual keyframes), and smoothing runs once per window.
+    the actual keyframes).
 
     Odometry measurements are taken between REGISTRATION-TIME poses (so
     smoothing shifts never pollute relative measurements) while node values
     are anchored on the smoothed parent.
 
-    Returns ``(new_state, last_kf_reg, kf_idx [W], rel [W,3],
-    n_loops_new [W])``.
+    Contains no ``lax.cond`` — safe to vmap over sessions at full speed.
+    Returns ``(graph, kf, aux)`` with ``kf`` NOT yet pose-synced (that
+    happens after smoothing).
     """
     dt = poses.dtype
     w = poses.shape[0]
@@ -438,11 +449,13 @@ def _window_backend(state: SlamState, last_kf_reg, poses, hessians, pts, msk,
         has = jnp.any(hit, axis=1)
         slot_k = slot[sel]
         do = has & (slot_k % cfg.loop.detect_every == 0)
-        loops = jax.vmap(
-            closure.detect_loops_cached,
-            in_axes=(None, 0, 0, 0, 0, None, None),
-        )(kf, pts[sel], msk[sel], node_vals[sel], slot_k,
-          cfg.loop, cfg.match)
+        # One flat K*C-lane verification program (per-lane cached tables)
+        # instead of a vmap of per-query C-lane verifications — the loop
+        # verify is the window's dominant config-3 cost, and the flat
+        # batch lets the LM straggler compaction work across all lanes.
+        loops = closure.detect_loops_cached_flat(
+            kf, pts[sel], msk[sel], node_vals[sel], slot_k,
+            cfg.loop, cfg.match)
         accept = loops.accept & do[:, None]                      # [K, C]
         acc_flat = accept.reshape(-1)
         cumf = jnp.cumsum(acc_flat.astype(jnp.int32))
@@ -498,26 +511,47 @@ def _window_backend(state: SlamState, last_kf_reg, poses, hessians, pts, msk,
                            state.last_kf_idx)
     rel_out = se2.between(anchor_reg, poses)
 
-    # One smoothing pass per window (iSAM2-update cadence at window grain).
-    any_kf = jnp.any(is_kf)
+    aux = dict(kslot=kslot, last_idx=last_idx, lkr=lkr,
+               any_kf=jnp.any(is_kf),
+               n_loops_new=jnp.sum(nl_out, dtype=jnp.int32),
+               kf_idx_out=kf_idx_out, rel_out=rel_out,
+               nl_out=nl_out, nd_out=nd_out, ni_out=ni_out)
+    return graph, kf, aux
+
+
+def _wb_smooth(state: SlamState, graph, any_kf, cfg: PipelineConfig):
+    """Window backend stage 2: one smoothing pass per window (iSAM2-update
+    cadence at window grain). Returns ``(SmootherState, take_code)``."""
     sm = inc.SmootherState(graph=graph, lam=state.sm_lam,
                            last_max_delta=state.sm_last_delta,
                            step=state.sm_step)
-    sm, take = jax.lax.cond(
+    return jax.lax.cond(
         any_kf, lambda s: inc.incremental_update(
             s, cfg.solver, huber_delta=cfg.solver.huber_delta,
             fresh_since=state.graph.n_between, return_take=True),
         lambda s: (s, jnp.asarray(0, jnp.int32)),
         sm)
-    graph = sm.graph
-    kf = kf._replace(poses=graph.poses[: kf.capacity])
 
-    # Map maintenance. Always extend with this window's keyframe scans at
-    # their registration-time insert poses, then incrementally re-place the
-    # stalest keyframes (refresh_top_m > 0) — or, legacy mode, rebuild the
-    # whole map whenever a loop factor landed (refresh_top_m = 0).
-    n_loops_new = jnp.sum(nl_out, dtype=jnp.int32)
+
+def _wb_extend(state: SlamState, poses, pts, msk, is_kf, kslot,
+               cfg: PipelineConfig):
+    """Always-run part of map maintenance: insert this window's keyframe
+    scans at their registration-time poses. Returns ``(stats, mkp)``."""
     mkp = state.map_kf_poses.at[kslot].set(poses, mode="drop")
+    wpts = se2.transform(poses, pts)
+    stats = ndt_grid.add_points(state.stats, wpts.reshape(-1, 2),
+                                (msk & is_kf[:, None]).reshape(-1),
+                                cfg.grid)
+    return stats, mkp
+
+
+def _wb_maps(state: SlamState, kf, poses, pts, msk, is_kf, kslot,
+             n_loops_new, sm_step, any_kf, cfg: PipelineConfig):
+    """Window backend stage 3: map maintenance. Always extend with this
+    window's keyframe scans at their registration-time insert poses, then
+    incrementally re-place the stalest keyframes (refresh_top_m > 0) — or,
+    legacy mode, rebuild the whole map whenever a loop factor landed
+    (refresh_top_m = 0). ``kf`` must already be pose-synced."""
 
     def rebuild(arg):
         world = se2.transform(kf.poses, kf.points)
@@ -526,10 +560,7 @@ def _window_backend(state: SlamState, last_kf_reg, poses, hessians, pts, msk,
                                     cfg.grid), kf.poses
 
     def extend(_):
-        wpts = se2.transform(poses, pts)
-        return ndt_grid.add_points(state.stats, wpts.reshape(-1, 2),
-                                   (msk & is_kf[:, None]).reshape(-1),
-                                   cfg.grid), mkp
+        return _wb_extend(state, poses, pts, msk, is_kf, kslot, cfg)
 
     if cfg.refresh_top_m > 0:
         # Same TRIGGER as the legacy full rebuild (a loop factor landed —
@@ -552,23 +583,44 @@ def _window_backend(state: SlamState, last_kf_reg, poses, hessians, pts, msk,
         if cfg.full_rebuild_every > 0:
             # Periodic full rebuild squashes the f32 subtract/re-add
             # residue and any staleness beyond the top-M budget.
-            do_rb = (sm.step % cfg.full_rebuild_every
+            do_rb = (sm_step % cfg.full_rebuild_every
                      == cfg.full_rebuild_every - 1) & any_kf
             stats, mkp = jax.lax.cond(do_rb, rebuild,
                                       lambda _: (stats, mkp), (stats, mkp))
     else:
         stats, mkp = jax.lax.cond(n_loops_new > 0, rebuild, extend, None)
+    return stats, mkp
+
+
+def _window_backend(state: SlamState, last_kf_reg, poses, hessians, pts, msk,
+                    is_kf, cfg: PipelineConfig):
+    """Graph/keyframe/loop work for one registered window (in-graph):
+    appends + detection (:func:`_wb_appends`), smoothing
+    (:func:`_wb_smooth`), map maintenance (:func:`_wb_maps`).
+
+    Returns ``(new_state, last_kf_reg, kf_idx [W], rel [W,3], nl [W],
+    nd [W], ni [W], take)``.
+    """
+    graph, kf, aux = _wb_appends(state, last_kf_reg, poses, hessians, pts,
+                                 msk, is_kf, cfg)
+    sm, take = _wb_smooth(state, graph, aux["any_kf"], cfg)
+    graph = sm.graph
+    kf = kf._replace(poses=graph.poses[: kf.capacity])
+    stats, mkp = _wb_maps(state, kf, poses, pts, msk, is_kf, aux["kslot"],
+                          aux["n_loops_new"], sm.step, aux["any_kf"], cfg)
 
     # Current estimate: smoothed latest keyframe + registration-time offset.
+    last_idx, lkr = aux["last_idx"], aux["lkr"]
     pose_out = se2.compose(graph.poses[last_idx], se2.between(lkr, poses[-1]))
 
     new_state = SlamState(
         stats=stats, kf=kf, graph=graph, sm_lam=sm.lam,
         sm_last_delta=sm.last_max_delta, sm_step=sm.step, pose=pose_out,
-        last_kf_idx=last_idx, n_loops=state.n_loops + n_loops_new,
+        last_kf_idx=last_idx, n_loops=state.n_loops + aux["n_loops_new"],
         map_kf_poses=mkp,
     )
-    return new_state, lkr, kf_idx_out, rel_out, nl_out, nd_out, ni_out, take
+    return (new_state, lkr, aux["kf_idx_out"], aux["rel_out"],
+            aux["nl_out"], aux["nd_out"], aux["ni_out"], take)
 
 
 def slam_window_step(state: SlamState, last_kf_reg, pts, msk, deltas,
