@@ -545,6 +545,79 @@ def main():
         float(np.mean(st_ates)), 4)
     extra["slam_sessions8_ate_max_stacked"] = round(max(st_ates), 4)
 
+    # === 7. multi-session merge: auto inter-session loop factors ===========
+    # (VERDICT r5 task 2) Two overlapping sessions, merge transform
+    # deliberately perturbed by ~0.32 m: the anchor-only merge keeps the
+    # offset (its one factor measures the wrong transform), the auto
+    # factors (NDT verification of B scans against A keyframes' cached
+    # tables) pull session B back to its true placement.
+    try:
+        from ndtpu.lie import se2 as _se2m
+        from ndtpu.slam import merge as mrg
+        mcfgp = PipelineConfig(
+            grid=GridConfig(x0=-12.0, y0=-12.0, cell=1.0, nx=24, ny=24,
+                            overlap=4),
+            keyframe=KeyframeConfig(dist_thresh=0.7, angle_thresh=0.35,
+                                    capacity=48),
+            loop=LoopConfig(radius=3.0, min_index_gap=8, max_candidates=4,
+                            local_half_extent=8.0),
+            solver=SolverConfig(inc_iters=1, pcg_max_iter=40),
+            use_loop_closure=False)
+        mworld = synth.box_world(half=9.0)
+        mtraj_a = synth.rectangle_trajectory(60, half=6.0, step=0.3)
+        mb0 = jnp.asarray([1.5, 2.0, 0.7], jnp.float32)
+        mtraj_b = _se2m.compose(jnp.broadcast_to(mb0, (40, 3)),
+                                synth.rectangle_trajectory(40, half=4.0,
+                                                           step=0.25))
+        t_exp = _se2m.between(mtraj_a[0], mtraj_b[0])
+        sqa = synth.make_sequence(mworld, mtraj_a, n_beams=180,
+                                  max_range=16.0, min_range=0.1, seed=5)
+        sqb = synth.make_sequence(mworld, mtraj_b, n_beams=180,
+                                  max_range=16.0, min_range=0.1, seed=6)
+        msa, _ = pipeline.run_slam_windowed(sqa.points, sqa.mask, sqa.odom,
+                                            mcfgp)
+        msb, _ = pipeline.run_slam_windowed(sqb.points, sqb.mask, sqb.odom,
+                                            mcfgp)
+        al = mrg.global_align(ndt_grid.finalize(msa.stats, mcfgp.ndt),
+                              mcfgp.grid, msb.kf.points[0], msb.kf.masks[0],
+                              span=8.0, step=1.0, n_theta=16)
+        t_bad = _se2m.compose(al.transform,
+                              jnp.asarray([0.25, -0.2, 0.06], jnp.float32))
+        from ndtpu.graph import solve as slvm
+        idxb = np.flatnonzero(np.asarray(msb.kf.live))
+        true_b = np.asarray(_se2m.compose(
+            jnp.broadcast_to(t_exp, (idxb.size, 3)),
+            msb.graph.poses[jnp.asarray(idxb)]))
+        na = msa.graph.capacity
+
+        def b_err(graph):
+            mb = np.asarray(graph.poses)[na + idxb]
+            d = mb[:, :2] - true_b[:, :2]
+            return float(np.hypot(d[:, 0], d[:, 1]).mean())
+
+        sqanchor = jnp.asarray(np.diag([10.0, 10.0, 20.0]), jnp.float32)
+        anchor = (np.asarray([0]), np.asarray([0]), t_bad[None, :],
+                  sqanchor[None])
+        ganc = mrg.merge_graphs(msa.graph, msb.graph, t_bad,
+                                inter_factors=anchor)
+        eanc = b_err(slvm.optimize(ganc, SolverConfig(max_iter=15),
+                                   method="pcg").graph)
+        ia_, jb_, z_, sqi_ = mrg.find_inter_session_loops(
+            msa.kf, msb.kf, t_bad, mcfgp.loop, mcfgp.match,
+            ndt_cfg=mcfgp.ndt)
+        gaut = mrg.merge_graphs(msa.graph, msb.graph, t_bad,
+                                inter_factors=(ia_, jb_, z_, sqi_))
+        eaut = b_err(slvm.optimize(gaut, SolverConfig(max_iter=15),
+                                   method="pcg").graph)
+        log(f"merge: {ia_.size} auto inter-session loops; B placement "
+            f"error {eanc:.3f} m (anchor-only) -> {eaut:.3f} m (auto)")
+        extra["merge_inter_loops"] = int(ia_.size)
+        extra["merge_b_placement_err_anchor_m"] = round(eanc, 4)
+        extra["merge_b_placement_err_auto_m"] = round(eaut, 4)
+    except Exception as e:              # never lose the headline to merge
+        log(f"merge section FAILED: {e!r}")
+        extra["merge_inter_loops"] = None
+
     print(json.dumps({
         "metric": "ndt_registration_throughput",
         "value": round(scans_per_s, 1),

@@ -200,13 +200,25 @@ def _gate_and_pack(res, cands: LoopCandidates, loop_cfg: LoopConfig,
         kth = jax.lax.top_k(ranked, k)[0][-1]
         accept = accept & (ranked >= kth)
     # Information = registration Hessian, clamped SPD (reference: noise(H)).
+    # The clamp is a proper EIGENVALUE floor, not just +eps*I: a lane that
+    # stopped on the iteration cap can sit at an INDEFINITE Hessian, and
+    # the closed-form Cholesky of that emits garbage-huge (or inf)
+    # sqrt_info whose whitened residual overflows f32 chi2 — one such
+    # masked append poisons the whole merged graph (found via
+    # find_inter_session_loops; in-session lanes converge to true minima
+    # and are unaffected by the floor).
     h = 0.5 * (res.hessian + jnp.swapaxes(res.hessian, -1, -2))
     eye = jnp.eye(3, dtype=dt)
-    h = h + 1e-3 * eye
     # Zero out rejected rows so downstream masked appends stay clean.
     h = jnp.where(accept[:, None, None], h, eye)
+    w, v = jnp.linalg.eigh(h)
+    w = jnp.clip(w, 1e-3, 1e8)
+    h = jnp.einsum("cik,ck,cjk->cij", v, w, v)
     from ndtpu.graph.factors import info_to_sqrt_info
-    sqrt_info = info_to_sqrt_info(h)
+    sqrt_info = info_to_sqrt_info(h + 1e-6 * eye)
+    finite = jnp.all(jnp.isfinite(sqrt_info), axis=(-2, -1))
+    accept = accept & finite
+    sqrt_info = jnp.where(finite[:, None, None], sqrt_info, eye)
     return LoopResult(j=cands.idx, z=res.pose, sqrt_info=sqrt_info,
                       score=res.score, accept=accept, innov_rej=innov_rej)
 

@@ -25,7 +25,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ndtpu.config import GridConfig, MatchConfig, NDTMapConfig, SolverConfig
+from ndtpu.config import (GridConfig, LoopConfig, MatchConfig, NDTMapConfig,
+                          SolverConfig)
 from ndtpu.graph import factors as fct
 from ndtpu.graph import solve as slv
 from ndtpu.lie import se2
@@ -33,7 +34,8 @@ from ndtpu.ndt import grid as ndt_grid
 from ndtpu.ndt import match as ndt_match
 from ndtpu.slam.keyframes import KeyframeStore
 
-__all__ = ["AlignResult", "global_align", "merge_graphs", "merged_map_stats"]
+__all__ = ["AlignResult", "global_align", "find_inter_session_loops",
+           "merge_graphs", "merged_map_stats"]
 
 
 class AlignResult(NamedTuple):
@@ -108,6 +110,94 @@ def global_align(map_a: ndt_grid.NDTMap, grid_a: GridConfig, probe_points,
                        score=refined.score[best],
                        converged=refined.converged[best],
                        grid_scores=mass_c)
+
+
+def find_inter_session_loops(kf_a: KeyframeStore, kf_b: KeyframeStore,
+                             t_ab, loop_cfg: LoopConfig,
+                             match_cfg: MatchConfig,
+                             max_queries: int = 64,
+                             candidates_per_query: int = 4,
+                             innovation_budget: float = 2.0,
+                             ndt_cfg: NDTMapConfig | None = None):
+    """Generate inter-session loop factors after :func:`global_align`
+    (VERDICT r5 task 2: a merged map whose sessions share long overlap
+    should be tied by MANY cross-session constraints, not one anchor).
+
+    Queries = up to ``max_queries`` evenly-spaced live keyframes of
+    session B, placed into A's frame by ``t_ab``; candidates = the nearest
+    live A keyframes within ``loop_cfg.radius`` of each query (no
+    index-gap test — the sessions are distinct trajectories). Every
+    (query, candidate) pair is verified by the same flat cached-table
+    batched NDT registration the in-session detector uses
+    (:func:`ndtpu.loop.closure.verify_candidates_cached_flat`), with the
+    same score/convergence gates and a FLAT innovation budget
+    (``innovation_budget``, the global-alignment + session-drift
+    allowance — the per-keyframe drift model is meaningless across
+    sessions).
+
+    Returns ``(i_a [L], j_b [L], z [L, 3], sqrt_info [L, 3, 3])`` numpy
+    arrays of the accepted factors (possibly empty), in the
+    ``merge_graphs(inter_factors=...)`` convention: ``z`` is the measured
+    pose of B-keyframe ``j_b``'s scan in A-keyframe ``i_a``'s frame.
+    This is a host-side merge-time operation (dynamic output size is
+    fine); the verification itself is one compiled batched program.
+    """
+    import dataclasses
+
+    import numpy as np
+
+    from ndtpu.loop.closure import (LoopCandidates, build_local_table,
+                                    verify_candidates_cached_flat)
+
+    if kf_a.tables is None:
+        # Session A ran without in-session loop closure: build its local
+        # tables once at merge time (one vmapped batch).
+        tbls = jax.vmap(lambda p, m: build_local_table(
+            p, m, loop_cfg, ndt_cfg or NDTMapConfig(),
+            match_cfg.compact_table))(kf_a.points, kf_a.masks)
+        kf_a = kf_a._replace(tables=tbls)
+
+    live_b = np.flatnonzero(np.asarray(kf_b.live))
+    if live_b.size == 0:
+        z3 = np.zeros((0, 3)), np.zeros((0, 3, 3))
+        return (np.zeros((0,), np.int32), np.zeros((0,), np.int32)) + z3
+    if live_b.size > max_queries:
+        sel = live_b[np.linspace(0, live_b.size - 1, max_queries)
+                     .round().astype(int)]
+    else:
+        sel = live_b
+    sel = jnp.asarray(sel, jnp.int32)                          # [K]
+    dtype = kf_b.poses.dtype
+    poses_q = se2.compose(
+        jnp.broadcast_to(jnp.asarray(t_ab, dtype), (sel.shape[0], 3)),
+        kf_b.poses[sel])                                       # [K, 3] in A
+
+    # Nearest live A keyframes within radius (cross-session: no gap test).
+    d = jnp.linalg.norm(kf_a.poses[None, :, :2] - poses_q[:, None, :2],
+                        axis=-1)                               # [K, capA]
+    okc = kf_a.live[None, :] & (d <= loop_cfg.radius)
+    dm = jnp.where(okc, d, jnp.inf)
+    c = min(candidates_per_query, kf_a.capacity)
+    neg_d, idx = jax.lax.top_k(-dm, c)
+    cands = LoopCandidates(idx=idx.astype(jnp.int32),
+                           mask=jnp.isfinite(-neg_d), dist=-neg_d)
+
+    # Flat budget: base = innovation_budget, per-kf term ~0 (gap values
+    # are meaningless across sessions).
+    cfg2 = dataclasses.replace(loop_cfg,
+                               max_innovation_base=innovation_budget,
+                               max_innovation_per_kf=1e-12)
+    loops = verify_candidates_cached_flat(
+        kf_a, kf_b.points[sel], kf_b.masks[sel], poses_q, cands, cfg2,
+        match_cfg, query_index=jnp.zeros_like(sel))            # [K, C] fields
+
+    acc = np.asarray(loops.accept)
+    ki, ci = np.nonzero(acc)
+    i_a = np.asarray(loops.j)[ki, ci].astype(np.int32)
+    j_b = np.asarray(sel)[ki].astype(np.int32)
+    z = np.asarray(loops.z)[ki, ci]
+    sq = np.asarray(loops.sqrt_info)[ki, ci]
+    return i_a, j_b, z, sq
 
 
 def merge_graphs(ga: fct.PoseGraph, gb: fct.PoseGraph, t_ab,
