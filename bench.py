@@ -131,6 +131,24 @@ def main():
         extra["weak_scaling_solve_s_1p"] = recs[1]["solve_s"]
         extra["weak_scaling_solve_s_2p"] = recs[2]["solve_s"]
         extra["weak_scaling_psum_ms_2p"] = round(recs[2]["psum_s"] * 1e3, 2)
+        # Efficiencies slightly above 1.0 are shared-host measurement noise
+        # (docs/PERF.md §6), not superlinear scaling — say so in the record
+        # itself (VERDICT r4 weak #7).
+        extra["weak_scaling_caveat"] = (
+            "single-host rehearsal over localhost gRPC with equal core "
+            "pinning; values near/above 1.0 are shared-2-core-host noise "
+            "around 1.0, not superlinear scaling")
+        # UNFAVORABLE regime too (VERDICT r5 task 3): at 800 poses/process
+        # the ~tens-of-ms cross-process overhead no longer amortizes
+        # against the ~0.35 s step; recording only the 1600 regime showed
+        # the contract just its best case.
+        recs_s = weak_run(base=800, max_p=2, cores_per_proc=1, ladders=1)
+        eff2s = recs_s[2]["efficiency_vs_1p"]
+        log(f"weak scaling rehearsal (small, 800/proc): eff(2p) {eff2s:.3f} "
+            f"(psum floor {recs_s[2]['psum_s']*1e3:.1f} ms)")
+        extra["weak_scaling_eff_2p_small"] = eff2s
+        extra["weak_scaling_psum_ms_2p_small"] = round(
+            recs_s[2]["psum_s"] * 1e3, 2)
     except Exception as e:          # never lose the headline to a rehearsal
         log(f"weak scaling rehearsal FAILED: {e!r}")
         extra["weak_scaling_eff_2p"] = None

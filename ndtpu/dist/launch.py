@@ -112,7 +112,11 @@ def worker_main(argv=None) -> None:
         int(g.poses.shape[0]), n_shards=n_dev)
 
     chi0 = float(fct.chi2(g))
-    res = schur.optimize_schur(mesh, g, plan, SolverConfig(max_iter=10))
+    # O(F/S) per-process data: only this process's shard rows are built
+    # (numpy slice) and stitched into the globally-sharded ShardData.
+    sd = schur.shard_data_global(mesh, g, plan)
+    res = schur.optimize_schur(mesh, g, plan, SolverConfig(max_iter=10),
+                               sd=sd)
     chi1 = float(fct.chi2(res.graph))
 
     # Timing: one distributed Schur GN step (shard-local linearize +
@@ -121,10 +125,10 @@ def worker_main(argv=None) -> None:
     # served from a cache on some backends — see bench.py).
     import time
     lam = jnp.asarray(1e-3, g.poses.dtype)
-    sd = schur.shard_factor_data(g, plan)
-    step = jax.jit(lambda g_: schur.schur_delta(
-        mesh, g_, plan, lam, sd=sd))
-    jax.block_until_ready(step(g))
+    # sd as a jit ARGUMENT: a globally-sharded array cannot be closed over.
+    step = jax.jit(lambda g_, sd_: schur.schur_delta(
+        mesh, g_, plan, lam, sd=sd_))
+    jax.block_until_ready(step(g, sd))
     ts = []
     rng_t = np.random.default_rng()
     for k in range(9):
@@ -132,7 +136,7 @@ def worker_main(argv=None) -> None:
         gk = g._replace(poses=g.poses + jnp.asarray(
             rng_t.normal(0, 1e-6, (1, 1)), g.poses.dtype))
         t0 = time.perf_counter()
-        jax.block_until_ready(step(gk))
+        jax.block_until_ready(step(gk, sd))
         ts.append(time.perf_counter() - t0)
     # MIN, not median: on a shared 2-core host the rehearsal's step time is
     # contaminated by whatever else briefly runs; the fastest rep is the

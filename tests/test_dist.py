@@ -210,3 +210,49 @@ def test_multi_session_slam_sharded_matches_local():
                 jax.tree_util.tree_map(lambda a: a[k], outs_x))
             ate = float(ate_rmse(traj_k, jnp.stack(gts)[k]))
             assert ate < 0.3, (k, ate)
+
+
+def test_shard_data_local_rows_match_full_and_shrink():
+    """O(F/S) ship-one-row path (VERDICT r5 task 3): each per-shard row
+    built by numpy slicing equals the corresponding row of the full
+    [S, Fmax] gather, at 1/S of its bytes."""
+    from ndtpu.dist import schur
+
+    data = g2o.manhattan_world(200, seed=9, loop_prob=0.2)
+    g = g2o.to_graph(data, dtype=jnp.float64)
+    s_dim = 4
+    plan = schur.plan_partition(
+        np.asarray(g.bet_i), np.asarray(g.bet_j), np.asarray(g.bet_mask),
+        np.asarray(g.prior_idx), np.asarray(g.prior_mask),
+        int(g.poses.shape[0]), n_shards=s_dim)
+    full = schur.shard_factor_data(g, plan)
+    for s in range(s_dim):
+        row = schur.shard_factor_data_local(g, plan, s)
+        for name in full._fields:
+            a = np.asarray(getattr(row, name))[0]
+            b = np.asarray(getattr(full, name))[s]
+            np.testing.assert_array_equal(a, b, err_msg=name)
+            # per-process bytes = full stack bytes / S
+            assert (np.asarray(getattr(row, name)).nbytes
+                    == np.asarray(getattr(full, name)).nbytes // s_dim)
+
+
+def test_optimize_schur_with_process_local_sd():
+    """optimize_schur fed the process-local-assembled globally-sharded
+    ShardData reaches the same optimum as the full-gather default."""
+    from ndtpu.dist import schur
+
+    data = g2o.manhattan_world(200, seed=11, loop_prob=0.2)
+    g = g2o.to_graph(data, dtype=jnp.float64)
+    plan = schur.plan_partition(
+        np.asarray(g.bet_i), np.asarray(g.bet_j), np.asarray(g.bet_mask),
+        np.asarray(g.prior_idx), np.asarray(g.prior_mask),
+        int(g.poses.shape[0]), n_shards=8)
+    mesh = dist.space_mesh()
+    cfg = SolverConfig(max_iter=20)
+    sd = schur.shard_data_global(mesh, g, plan)
+    got = schur.optimize_schur(mesh, g, plan, cfg, sd=sd)
+    ref = schur.optimize_schur(mesh, g, plan, cfg)
+    np.testing.assert_allclose(np.asarray(got.graph.poses),
+                               np.asarray(ref.graph.poses),
+                               rtol=1e-9, atol=1e-9)
