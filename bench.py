@@ -345,10 +345,23 @@ def main():
     np.asarray(outs_ml.pose)
     ate_ml = float(ate_rmse(pipeline.recover_trajectory(st_ml, outs_ml),
                             seq_ml.gt_poses))
+    # Smoother-path takes per window (VERDICT r5 task 4): how often does
+    # the k-hop bounded-cost local path actually engage under loop load?
+    # Codes: 0 = settled skip, 1 = global PCG, 2 = k-hop local. One code
+    # per window (broadcast per scan -> sample stride W).
+    takes = np.asarray(outs_ml.local_take)[:: mcfg3.window]
+    n_win_ml = takes.size
+    frac = lambda c: float((takes == c).sum()) / max(n_win_ml, 1)
     log(f"multilap (1000 scans, 3.5 laps): ATE {ate_ml:.4f} m, "
         f"loops {int(st_ml.n_loops)} "
-        f"(compile+run {time.perf_counter() - t0:.1f}s)")
+        f"(compile+run {time.perf_counter() - t0:.1f}s); smoother takes: "
+        f"skip {frac(0):.2f} / global {frac(1):.2f} / local {frac(2):.2f}")
     extra["slam_multilap1000_ate_m"] = round(ate_ml, 4)
+    extra["multilap_take_frac_skip"] = round(frac(0), 3)
+    extra["multilap_take_frac_global"] = round(frac(1), 3)
+    extra["multilap_take_frac_local"] = round(frac(2), 3)
+    extra["multilap_innov_rejected"] = int(
+        np.asarray(outs_ml.n_innov_rej).sum())
 
     # === 4. BA solve ms/iter at 10k poses (config 4) ========================
     data = g2o.manhattan_world(10000, seed=0, loop_prob=0.1)

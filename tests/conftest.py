@@ -35,6 +35,14 @@ assert len(jax.devices()) == 8, jax.devices()
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "quick: fast core-math/solver/data tier for per-commit runs "
+        "(`pytest -m quick`, <90 s on this box); the full sweep stays the "
+        "round-end gate")
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_between_modules():
     """Free compiled executables between test modules.

@@ -4,6 +4,11 @@ machine — SURVEY.md §0; format per CARMEN logger docs)."""
 import numpy as np
 
 from ndtpu.data import carmen
+import pytest
+
+# Quick tier (SURVEY.md §5 item 5 / VERDICT r5 task 9): core-math and
+# solver tests fast enough for per-commit runs (`pytest -m quick`).
+pytestmark = pytest.mark.quick
 
 
 def _fake_log(t=5, n=181):

@@ -6,6 +6,11 @@ import numpy as np
 
 from ndtpu.eval import ate
 from ndtpu.lie import se2
+import pytest
+
+# Quick tier (SURVEY.md §5 item 5 / VERDICT r5 task 9): core-math and
+# solver tests fast enough for per-commit runs (`pytest -m quick`).
+pytestmark = pytest.mark.quick
 
 
 def test_ate_zero_for_identical():

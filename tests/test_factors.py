@@ -5,6 +5,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ndtpu.graph import factors as fct
+import pytest
+
+# Quick tier (SURVEY.md §5 item 5 / VERDICT r5 task 9): core-math and
+# solver tests fast enough for per-commit runs (`pytest -m quick`).
+pytestmark = pytest.mark.quick
 
 
 def rand_pose(key):

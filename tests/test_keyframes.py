@@ -3,6 +3,11 @@
 import jax.numpy as jnp
 
 from ndtpu.slam import keyframes as kfs
+import pytest
+
+# Quick tier (SURVEY.md §5 item 5 / VERDICT r5 task 9): core-math and
+# solver tests fast enough for per-commit runs (`pytest -m quick`).
+pytestmark = pytest.mark.quick
 
 
 def _mk(cap=4, n=8):

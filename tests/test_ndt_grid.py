@@ -7,6 +7,11 @@ import numpy as np
 from ndtpu.config import GridConfig, NDTMapConfig
 from ndtpu.ndt import grid as g
 from ndtpu.reference_impl import ndt_numpy
+import pytest
+
+# Quick tier (SURVEY.md §5 item 5 / VERDICT r5 task 9): core-math and
+# solver tests fast enough for per-commit runs (`pytest -m quick`).
+pytestmark = pytest.mark.quick
 
 GRID = GridConfig(x0=-8.0, y0=-8.0, cell=1.0, nx=16, ny=16, overlap=4)
 CFG = NDTMapConfig()

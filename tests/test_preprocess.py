@@ -8,6 +8,11 @@ import jax.numpy as jnp
 
 from ndtpu.data import g2o
 from ndtpu.data.preprocess import voxel_downsample
+import pytest
+
+# Quick tier (SURVEY.md §5 item 5 / VERDICT r5 task 9): core-math and
+# solver tests fast enough for per-commit runs (`pytest -m quick`).
+pytestmark = pytest.mark.quick
 
 
 def test_voxel_downsample_one_per_cell():

@@ -10,6 +10,10 @@ from ndtpu.graph import factors as fct
 from ndtpu.graph import solve as slv
 from ndtpu.lie import se2
 
+# Quick tier (SURVEY.md §5 item 5 / VERDICT r5 task 9): core-math and
+# solver tests fast enough for per-commit runs (`pytest -m quick`).
+pytestmark = pytest.mark.quick
+
 
 def _chain_with_outlier(dtype=jnp.float64):
     n = 24

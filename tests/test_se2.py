@@ -9,6 +9,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ndtpu.lie import se2
+import pytest
+
+# Quick tier (SURVEY.md §5 item 5 / VERDICT r5 task 9): core-math and
+# solver tests fast enough for per-commit runs (`pytest -m quick`).
+pytestmark = pytest.mark.quick
 
 
 def rand_poses(key, n):

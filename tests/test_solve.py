@@ -10,6 +10,11 @@ from ndtpu.data import g2o
 from ndtpu.graph import factors as fct
 from ndtpu.graph import solve
 from ndtpu.lie import se2
+import pytest
+
+# Quick tier (SURVEY.md §5 item 5 / VERDICT r5 task 9): core-math and
+# solver tests fast enough for per-commit runs (`pytest -m quick`).
+pytestmark = pytest.mark.quick
 
 CFG = SolverConfig()
 

@@ -5,6 +5,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ndtpu.data import synth
+import pytest
+
+# Quick tier (SURVEY.md §5 item 5 / VERDICT r5 task 9): core-math and
+# solver tests fast enough for per-commit runs (`pytest -m quick`).
+pytestmark = pytest.mark.quick
 
 
 def test_raycast_known_geometry():
