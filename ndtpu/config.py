@@ -254,6 +254,21 @@ class PipelineConfig:
     # otherwise drags every lane through ~15 sequential iterations
     # (latency, not FLOPs, is what a window costs; docs/PERF.md).
     pass2_max_iter: int = 0
+    # Initialize refinement passes (pass >= 2) from the SAME scan's
+    # previous-pass converged pose instead of re-chaining prev-scan pose +
+    # odometry delta. The refreshed pass-2 map contains the window's own
+    # keyframes placed at pass-1 poses, so the pass-1 pose is already
+    # within a fraction of a cell of the pass-2 optimum — the warm start
+    # cuts the sequential LM depth of the second while_loop (the serving
+    # budget is latency-bound, docs/PERF.md §9).
+    pass2_warm_start: bool = False
+    # Register on every k-th beam only in the windowed frontend (1 = all
+    # beams). The matcher is gather-row-rate bound (docs/PERF.md §3), so
+    # stride k cuts the per-LM-iteration cost ~k-fold; keyframe scans are
+    # stored and map-rendered at FULL resolution — only the match
+    # subsamples. The registration Hessian (factor information) honestly
+    # reflects the subsampled scan.
+    frontend_beam_stride: int = 1
     # Odometry innovation gate (m): a registration whose translation differs
     # from its odometry-predicted init by more than this is rejected in favor
     # of the prediction. NDT's matched-mass objective pulls scans at the map

@@ -193,40 +193,117 @@ def _smooth_stacked(state8, graph8, any_kf8, cfg: PipelineConfig):
     dt = graph8.poses.dtype
     flat = _flat_graph(graph8)
 
-    def chi_s(g):
-        (_, _, r), (_, rp) = fct.linearize(g, huber)
+    def chi_from(lin):
+        (_, _, r), (_, rp) = lin
         return (jnp.sum(r.reshape(s, f, 3) ** 2, axis=(1, 2))
                 + jnp.sum(rp.reshape(s, p, 3) ** 2, axis=(1, 2)))
 
     def body(_, carry):
-        poses, chi8, lam8, md8 = carry
+        poses, lam8, md8 = carry
         g = flat._replace(poses=poses)
         lin = fct.linearize(g, huber)
+        # Current chi2 from the SAME linearization the step uses (the
+        # whitened residuals are exactly what chi_s recomputed): one
+        # linearize per iteration saved — the serving window is
+        # latency-bound (docs/PERF.md §9).
+        chi8 = chi_from(lin)
         lam_v = jnp.repeat(lam8, v)[:, None]        # [S*V, 1] per-pose lam
         delta, _ = slv.pcg_rhs(g, lin, -slv.gradient(g, lin), lam_v, scfg)
         trial = slv._apply_delta(poses, delta, g.pose_mask)
-        chi_t = chi_s(g._replace(poses=trial))
+        chi_t = chi_from(fct.linearize(g._replace(poses=trial), huber))
         accept8 = (chi_t < chi8) & any_kf8          # [S]
         acc_v = jnp.repeat(accept8, v)[:, None]
         poses_n = jnp.where(acc_v, trial, poses)
-        chi_n = jnp.where(accept8, chi_t, chi8)
         lam_n = jnp.where(
             accept8, jnp.maximum(lam8 / scfg.lambda_down, 1e-12),
             jnp.where(any_kf8, lam8 * scfg.lambda_up, lam8))
         d8 = jnp.max(jnp.abs(delta.reshape(s, v, 3)), axis=(1, 2))
         md_n = jnp.where(accept8, jnp.maximum(md8, d8), md8)
-        return poses_n, chi_n, lam_n, md_n
+        return poses_n, lam_n, md_n
 
-    chi0 = chi_s(flat)
-    poses, _, lam8, md8 = jax.lax.fori_loop(
+    poses, lam8, md8 = jax.lax.fori_loop(
         0, scfg.inc_iters, body,
-        (flat.poses, chi0, state8.sm_lam, jnp.zeros((s,), dt)))
+        (flat.poses, state8.sm_lam, jnp.zeros((s,), dt)))
     sm = inc.SmootherState(
         graph=graph8._replace(poses=poses.reshape(s, v, 3)),
         lam=lam8,
         last_max_delta=jnp.where(any_kf8, md8, state8.sm_last_delta),
         step=state8.sm_step + any_kf8.astype(jnp.int32))
     return sm, any_kf8.astype(jnp.int32)   # take code 1 = global
+
+
+def _frontend_stacked(state8, lkr8, pts8, msk8, deltas8,
+                      cfg: PipelineConfig):
+    """The windowed 2-pass frontend for ALL S sessions as ONE flat batched
+    LM program per pass (instead of a vmap of per-session programs).
+
+    All ``S*W`` registration lanes share one while_loop: the sequential
+    iteration depth is max-over-ALL-lanes once (the vmapped form pays the
+    same depth but cannot compact stragglers), and with
+    ``cfg.match.phase2_width > 0`` the two-phase straggler compaction
+    works across the whole fleet — the converged majority stops paying
+    for the handful of frontier lanes. Session maps are shared per group
+    of W lanes via :func:`ndtpu.ndt.grid.lookup_quad_grouped` (tables are
+    never materialized per lane). Semantics per session are identical to
+    :func:`ndtpu.slam.pipeline._window_frontend`.
+    """
+    import dataclasses
+
+    import jax.numpy as jnp
+    from ndtpu.lie import se2
+    from ndtpu.ndt import grid as ndt_grid
+    from ndtpu.ndt import match as ndt_match
+    from ndtpu.slam.odometry import chain_deltas, gate_poses, kf_select
+
+    s, w = pts8.shape[0], pts8.shape[1]
+    group = jnp.repeat(jnp.arange(s, dtype=jnp.int32), w)
+    stride = max(1, cfg.frontend_beam_stride)
+    mpts8, mmsk8 = ((pts8, msk8) if stride == 1
+                    else (pts8[:, :, ::stride], msk8[:, :, ::stride]))
+
+    def flat(a):
+        return a.reshape((s * w,) + a.shape[2:])
+
+    def kf_flags8(lk8, poses8):
+        return jax.vmap(lambda lk, p: kf_select(
+            lk, p, cfg.keyframe.dist_thresh, cfg.keyframe.angle_thresh)[0]
+        )(lk8, poses8)
+
+    def pack8(stats8):
+        return jax.vmap(lambda st: ndt_grid.pack_quad(
+            ndt_grid.finalize(st, cfg.ndt), cfg.grid,
+            compact=cfg.match.compact_table))(stats8)
+
+    table8 = pack8(state8.stats)
+    inits = jax.vmap(chain_deltas)(state8.pose, deltas8)         # [S, W, 3]
+    res = ndt_match.match_batch_packed(
+        flat(mpts8), flat(mmsk8), table8, inits.reshape(s * w, 3),
+        cfg.grid, cfg.match, group=group)
+    poses8, _ = gate_poses(res.pose.reshape(s, w, 3),
+                           res.converged.reshape(s, w), inits, cfg.odom_gate)
+    mcfg2 = cfg.match
+    if cfg.pass2_max_iter > 0:
+        mcfg2 = dataclasses.replace(cfg.match, max_iter=cfg.pass2_max_iter)
+    for _ in range(max(0, cfg.window_passes - 1)):
+        kf_prev8 = kf_flags8(lkr8, poses8)
+        tmp8 = jax.vmap(lambda st, po, p, m: ndt_grid.add_points(
+            st, se2.transform(po, p).reshape(-1, 2), m.reshape(-1),
+            cfg.grid))(state8.stats, poses8, pts8,
+                       msk8 & kf_prev8[..., None])
+        table8 = pack8(tmp8)
+        prev = jnp.concatenate([state8.pose[:, None], poses8[:, :-1]],
+                               axis=1)
+        inits2 = se2.compose(prev, deltas8)
+        res = ndt_match.match_batch_packed(
+            flat(pts8), flat(msk8), table8, inits2.reshape(s * w, 3),
+            cfg.grid, mcfg2, group=group)
+        poses8, _ = gate_poses(res.pose.reshape(s, w, 3),
+                               res.converged.reshape(s, w), inits2,
+                               cfg.odom_gate)
+    is_kf8 = kf_flags8(lkr8, poses8)
+    res8 = jax.tree_util.tree_map(
+        lambda a: a.reshape((s, w) + a.shape[1:]), res)
+    return poses8, res8, is_kf8
 
 
 def _stacked_window_step(state8, lkr8, pts8, msk8, deltas8,
@@ -251,10 +328,8 @@ def _stacked_window_step(state8, lkr8, pts8, msk8, deltas8,
     from ndtpu.lie import se2
 
     vm = jax.vmap
-    poses8, res8, is_kf8 = vm(
-        lambda st, lk, p, m, d: pipeline._window_frontend(
-            st, lk, p, m, d, cfg, cfg.window_passes)
-    )(state8, lkr8, pts8, msk8, deltas8)
+    poses8, res8, is_kf8 = _frontend_stacked(state8, lkr8, pts8, msk8,
+                                             deltas8, cfg)
     graph8, kf8, aux8 = vm(
         lambda st, lk, po, h, p, m, ik: pipeline._wb_appends(
             st, lk, po, h, p, m, ik, cfg)

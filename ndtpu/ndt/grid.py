@@ -439,3 +439,36 @@ def lookup_quad_multi(tables: jax.Array, x: jax.Array, y: jax.Array,
     idx = jnp.clip(fid.astype(jnp.int32), 0, wh * hh - 1)
     lane = jnp.arange(b, dtype=jnp.int32).reshape((b,) + (1,) * (idx.ndim - 1))
     return tables.reshape(b * r, l)[idx + lane * r], inb
+
+
+def lookup_quad_grouped(tables_flat: jax.Array, r: int, group: jax.Array,
+                        x: jax.Array, y: jax.Array, grid: GridConfig):
+    """Shared-per-group quad tables: lane ``b`` gathers from table
+    ``group[b]`` — ``tables_flat [S*R, L]`` (``R = r`` rows per table),
+    ``group [B]`` int32, ``x``/``y`` ``[B, N]`` ->
+    ``(rows [B, N, L], inb [B, N])``.
+
+    The stacked multi-session frontend shape: S session maps serve
+    ``S*W`` registration lanes in ONE flat batched LM program (W lanes
+    share each session's table), so the two-phase straggler compaction
+    works across ALL sessions' lanes and the tables are never
+    materialized per lane. Same flat row-fold as
+    :func:`lookup_quad_multi` (a batched gather falls off the fast
+    row-gather path); the only difference is the lane->table indirection.
+
+    The caller flattens ``[S, R, L] -> [S*R, L]`` ONCE per LM call: on
+    TPU that reshape is a tiled-layout copy (R is not a tile multiple),
+    and done inside the matcher's while_loop body it re-runs every
+    iteration (measured ~0.04 ms x ~27 iterations per serving window).
+    """
+    dt = x.dtype
+    wh, hh = _quad_lattice(grid)
+    inv = jnp.asarray((2.0 if grid.overlap == 4 else 1.0) / grid.cell, dt)
+    hx = jnp.floor((x - grid.x0) * inv)
+    hy = jnp.floor((y - grid.y0) * inv)
+    inb = (hx >= 0) & (hx < wh) & (hy >= 0) & (hy < hh)
+    fid = hy * wh + hx
+    idx = jnp.clip(fid.astype(jnp.int32), 0, wh * hh - 1)
+    g = group.astype(jnp.int32).reshape(
+        group.shape + (1,) * (idx.ndim - group.ndim))
+    return tables_flat[idx + g * r], inb

@@ -316,10 +316,17 @@ def _window_frontend(state: SlamState, last_kf_reg, pts, msk, deltas,
                                     cfg.keyframe.angle_thresh)
         return last_out, is_kf
 
+    # Beam stride applies to pass 1 only: its poses are provisional (they
+    # seed pass 2's map refresh and warm chain), so half-resolution is
+    # enough; the final pass matches at full resolution — striding it too
+    # measurably degrades the bistable sessions (ATE max 0.08 -> 0.19).
+    stride = max(1, cfg.frontend_beam_stride)
+    mpts, mmsk = (pts, msk) if stride == 1 else (pts[:, ::stride],
+                                                 msk[:, ::stride])
     table = ndt_grid.pack_quad(ndt_grid.finalize(state.stats, cfg.ndt),
                                cfg.grid, compact=cfg.match.compact_table)
     inits = chain_deltas(state.pose, deltas)
-    res = ndt_match.match_batch_packed(pts, msk, table, inits, cfg.grid,
+    res = ndt_match.match_batch_packed(mpts, mmsk, table, inits, cfg.grid,
                                        cfg.match)
     poses, _ = gate_poses(res.pose, res.converged, inits, cfg.odom_gate)
     mcfg2 = cfg.match
@@ -333,10 +340,13 @@ def _window_frontend(state: SlamState, last_kf_reg, pts, msk, deltas,
             (msk & kf_prev[:, None]).reshape(-1), cfg.grid)
         table = ndt_grid.pack_quad(ndt_grid.finalize(tmp, cfg.ndt), cfg.grid,
                                    compact=cfg.match.compact_table)
-        prev = jnp.concatenate([state.pose[None], poses[:-1]], axis=0)
-        inits2 = se2.compose(prev, deltas)
-        res = ndt_match.match_batch_packed(pts, msk, table, inits2, cfg.grid,
-                                           mcfg2)
+        if cfg.pass2_warm_start:
+            inits2 = poses
+        else:
+            prev = jnp.concatenate([state.pose[None], poses[:-1]], axis=0)
+            inits2 = se2.compose(prev, deltas)
+        res = ndt_match.match_batch_packed(pts, msk, table, inits2,
+                                           cfg.grid, mcfg2)
         poses, _ = gate_poses(res.pose, res.converged, inits2, cfg.odom_gate)
     _, is_kf = kf_flags(last_kf_reg, poses)
     return poses, res, is_kf
