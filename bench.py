@@ -546,6 +546,13 @@ def main():
     scfg8 = slam_dp.serving_config(cfg8)
     scfg8 = _dc.replace(scfg8, loop=_dc.replace(scfg8.loop,
                                                 max_candidates=4))
+    # Right-size the keyframe/graph capacity to the serving session length
+    # (300 scans -> ~111 keyframes; 160 leaves ~40% headroom): the flat
+    # smoother, refresh top_k, and every graph scatter pay for CAPACITY,
+    # not occupancy, and 512 was costing ~15% aggregate throughput.
+    # SlamStepOut.n_dropped guards saturation if a deployment undersizes.
+    scfg8 = _dc.replace(scfg8, keyframe=_dc.replace(scfg8.keyframe,
+                                                    capacity=160))
     run_st = jax.jit(lambda p, m, o: slam_dp.run_sessions_stacked(
         p, m, o, scfg8))
     P8 = jnp.stack([sq.points for sq in sessions])

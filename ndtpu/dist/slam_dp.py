@@ -62,7 +62,7 @@ def vmap_cond_hazards(cfg: PipelineConfig) -> list[str]:
     return bad
 
 
-def serving_config(cfg: PipelineConfig, refresh_top_m: int = 24,
+def serving_config(cfg: PipelineConfig, refresh_top_m: int = 12,
                    fast: bool = True) -> PipelineConfig:
     """A vmap-safe variant of ``cfg`` for stacked multi-session serving.
 
@@ -83,19 +83,25 @@ def serving_config(cfg: PipelineConfig, refresh_top_m: int = 24,
     ``fast=True`` additionally applies the measured serving preset
     (docs/PERF.md §9 budget: a serving window is LATENCY-bound — ~45
     sequential LM/PCG iterations at ~0.1-0.6 ms each — so the levers are
-    sequential-depth cuts): loop verification at 12 LM iterations on every
+    sequential-depth cuts): loop verification at 6 LM iterations on every
     2nd beam (the factor's information honestly reflects the subsampled
-    scan), smoother at 1 LM iteration x 12 PCG iterations (warm-started).
-    Measured on the 8-session serving benchmark: 2.2x throughput at
-    equal-or-better per-session ATE vs the exact settings.
+    scan), smoother at 1 LM iteration x 6 PCG iterations (warm-started),
+    two-phase straggler compaction at width 16 for the fused flat
+    frontend (:func:`_frontend_stacked`). Measured on the 8-session
+    serving benchmark (r5 sweep, benchmarks/bench_serving_sweep.py):
+    these caps vs the exact settings are >3x throughput at
+    equal-or-better per-session ATE (the shortened PCG is warm-started
+    every window, so the smoother still converges across windows).
     """
     solver = dataclasses.replace(cfg.solver, local_poses=0,
                                  full_solve_every=0)
     loop = cfg.loop
+    match = cfg.match
     if fast:
-        solver = dataclasses.replace(solver, pcg_max_iter=12, inc_iters=1)
-        loop = dataclasses.replace(loop, verify_max_iter=12,
+        solver = dataclasses.replace(solver, pcg_max_iter=6, inc_iters=1)
+        loop = dataclasses.replace(loop, verify_max_iter=6,
                                    verify_beam_stride=2)
+        match = dataclasses.replace(match, phase2_width=16)
     return dataclasses.replace(
         cfg,
         refresh_top_m=refresh_top_m,
@@ -103,6 +109,7 @@ def serving_config(cfg: PipelineConfig, refresh_top_m: int = 24,
         full_rebuild_every=0,
         loop=loop,
         solver=solver,
+        match=match,
     )
 
 

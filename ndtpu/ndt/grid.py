@@ -131,6 +131,12 @@ def add_points(stats: NDTStats, points: jax.Array, mask: jax.Array,
     values originally added, so subtract-then-re-add moves a scan to a new
     pose up to one f32 rounding residue per touched cell (the incremental
     map-refresh path squashes residue with a periodic full rebuild).
+
+    ``weight`` may also be a per-point ``[N]`` array: the map-refresh path
+    concatenates subtract-at-old-pose (-1) and add-at-new-pose (+1) point
+    sets into ONE call — the scatter row count is unchanged but the
+    fixed per-call cost (the dense half-cell pooling at overlap=4, one
+    full-lattice pass) is paid once instead of twice.
     """
     g, c = grid.overlap, grid.n_cells
     if g == 4:

@@ -150,8 +150,14 @@ def _refresh_map(stats, kf: kfs.KeyframeStore, mkp, cfg: PipelineConfig,
     spts = kf.points[sel]                                        # [M, N, 2]
     old_w = se2.transform(mkp[sel], spts).reshape(-1, 2)
     new_w = se2.transform(kf.poses[sel], spts).reshape(-1, 2)
-    stats = ndt_grid.add_points(stats, old_w, smsk, cfg.grid, weight=-1.0)
-    stats = ndt_grid.add_points(stats, new_w, smsk, cfg.grid)
+    # Subtract-old + add-new as ONE weighted call: same scatter rows, but
+    # the per-call fixed cost (the dense half-cell pooling pass) is paid
+    # once instead of twice — the refresh fires on most serving windows.
+    both = jnp.concatenate([old_w, new_w], axis=0)
+    bmsk = jnp.concatenate([smsk, smsk], axis=0)
+    wts = jnp.concatenate([jnp.full((old_w.shape[0],), -1.0, both.dtype),
+                           jnp.ones((new_w.shape[0],), both.dtype)])
+    stats = ndt_grid.add_points(stats, both, bmsk, cfg.grid, weight=wts)
     mkp = mkp.at[jnp.where(do, sel, big)].set(kf.poses[sel], mode="drop")
     return stats, mkp
 
