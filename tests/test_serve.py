@@ -162,3 +162,121 @@ def test_stacked_end_to_end_matches_single():
                                seqs[k].gt_poses))
         assert ate_st < 0.15, (k, ate_st)
         assert abs(ate_st - ate_1) < 0.1, (k, ate_st, ate_1)
+
+
+def test_lookup_quad_grouped_matches_per_lane():
+    """Grouped lookup (lane -> shared session table) must agree with the
+    per-lane multi lookup when each lane's table is its group's table."""
+    rng = np.random.default_rng(3)
+    grid = GridConfig(x0=-4.0, y0=-4.0, cell=0.5, nx=16, ny=16, overlap=4)
+    from ndtpu.ndt.grid import (_quad_lattice, lookup_quad_grouped,
+                                lookup_quad_multi)
+    s, b, n = 3, 6, 32
+    wh, hh = _quad_lattice(grid)
+    r = wh * hh
+    tables = jnp.asarray(rng.normal(0, 1, (s, r, 16)), jnp.float32)
+    group = jnp.asarray(rng.integers(0, s, b), jnp.int32)
+    x = jnp.asarray(rng.uniform(-5, 5, (b, n)), jnp.float32)
+    y = jnp.asarray(rng.uniform(-5, 5, (b, n)), jnp.float32)
+    rows_g, inb_g = lookup_quad_grouped(tables.reshape(s * r, 16), r, group,
+                                        x, y, grid)
+    rows_m, inb_m = lookup_quad_multi(tables[group], x, y, grid)
+    np.testing.assert_array_equal(np.asarray(inb_g), np.asarray(inb_m))
+    np.testing.assert_array_equal(np.asarray(rows_g), np.asarray(rows_m))
+
+
+def test_match_grouped_matches_per_session():
+    """match_batch_packed with group= must reproduce per-session
+    match_batch_packed against each session's own table (same lanes, same
+    LM trajectory — bit-identical results)."""
+    from ndtpu.ndt import match as ndt_match
+
+    rng = np.random.default_rng(5)
+    grid = GridConfig(x0=-10.0, y0=-10.0, cell=0.5, nx=40, ny=40, overlap=4)
+    mcfg, ncfg = MatchConfig(), NDTMapConfig()
+    world = synth.box_world(half=8.0)
+    s, w = 2, 4
+    tables, ptss, msks, inits = [], [], [], []
+    for k in range(s):
+        traj = synth.rectangle_trajectory(12, half=5.0 + 0.4 * k, step=0.3)
+        sq = synth.make_sequence(world, traj, n_beams=120, max_range=20.0,
+                                 min_range=0.1, seed=60 + k)
+        wp = se2.transform(sq.gt_poses, sq.points)
+        stats = ndt_grid.build_stats(wp.reshape(-1, 2), sq.mask.reshape(-1),
+                                     grid)
+        tables.append(ndt_grid.pack_quad(ndt_grid.finalize(stats, ncfg),
+                                         grid, compact=mcfg.compact_table))
+        ptss.append(sq.points[:w])
+        msks.append(sq.mask[:w])
+        inits.append(sq.gt_poses[:w] + 0.05)
+    T = jnp.stack(tables)
+    group = jnp.repeat(jnp.arange(s, dtype=jnp.int32), w)
+    res_g = ndt_match.match_batch_packed(
+        jnp.concatenate(ptss), jnp.concatenate(msks), T,
+        jnp.concatenate(inits), grid, mcfg, group=group)
+    for k in range(s):
+        res_k = ndt_match.match_batch_packed(ptss[k], msks[k], tables[k],
+                                             inits[k], grid, mcfg)
+        np.testing.assert_allclose(
+            np.asarray(res_g.pose[k * w:(k + 1) * w]),
+            np.asarray(res_k.pose), atol=1e-6)
+        np.testing.assert_array_equal(
+            np.asarray(res_g.converged[k * w:(k + 1) * w]),
+            np.asarray(res_k.converged))
+
+
+def test_add_points_weight_array():
+    """Per-point weight arrays: concat(subtract-old, add-new) in one call
+    must equal the two-call subtract + add path (same sums, one pooling
+    pass) for both overlap=4 and overlap=1 grids."""
+    rng = np.random.default_rng(7)
+    for overlap in (4, 1):
+        grid = GridConfig(x0=-4.0, y0=-4.0, cell=0.5, nx=16, ny=16,
+                          overlap=overlap)
+        base = jnp.asarray(rng.uniform(-3, 3, (64, 2)), jnp.float32)
+        old = jnp.asarray(rng.uniform(-3, 3, (32, 2)), jnp.float32)
+        new = old + 0.2
+        msk_b = jnp.asarray(rng.random(64) < 0.9)
+        msk_o = jnp.asarray(rng.random(32) < 0.9)
+        stats0 = ndt_grid.add_points(
+            ndt_grid.empty_stats(grid, jnp.float32), base, msk_b, grid)
+        two = ndt_grid.add_points(stats0, old, msk_o, grid, weight=-1.0)
+        two = ndt_grid.add_points(two, new, msk_o, grid)
+        both = jnp.concatenate([old, new])
+        wts = jnp.concatenate([jnp.full((32,), -1.0, jnp.float32),
+                               jnp.ones((32,), jnp.float32)])
+        one = ndt_grid.add_points(stats0, both,
+                                  jnp.concatenate([msk_o, msk_o]), grid,
+                                  weight=wts)
+        for a, b in zip(one, two):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4)
+
+
+def test_frontend_stacked_matches_vmapped():
+    """The fused flat frontend must agree with a vmap of the per-session
+    _window_frontend (same lanes, same tables; the flat program only
+    changes dispatch structure, so poses should agree to f32 tolerance)."""
+    cfg = slam_dp.serving_config(_session_cfg())
+    world = synth.box_world(half=11.0)
+    seqs = []
+    for k in range(2):
+        traj = synth.rectangle_trajectory(10, half=6.0 + 0.3 * k, step=0.2)
+        seqs.append(synth.make_sequence(world, traj, n_beams=180,
+                                        max_range=20.0, min_range=0.1,
+                                        seed=80 + k, odom_trans_std=0.04,
+                                        odom_rot_std=0.01))
+    P = jnp.stack([s.points for s in seqs])
+    M = jnp.stack([s.mask for s in seqs])
+    O = jnp.stack([s.odom for s in seqs])
+    state8 = jax.vmap(lambda p, m: pipeline.init_slam(cfg, p, m))(
+        P[:, 0], M[:, 0])
+    poses_f, res_f, kf_f = slam_dp._frontend_stacked(
+        state8, state8.pose, P[:, 1:], M[:, 1:], O[:, 1:], cfg)
+    poses_v, res_v, kf_v = jax.vmap(
+        lambda st, lk, p, m, d: pipeline._window_frontend(
+            st, lk, p, m, d, cfg, cfg.window_passes)
+    )(state8, state8.pose, P[:, 1:], M[:, 1:], O[:, 1:])
+    np.testing.assert_allclose(np.asarray(poses_f), np.asarray(poses_v),
+                               atol=5e-3)
+    np.testing.assert_array_equal(np.asarray(kf_f), np.asarray(kf_v))
