@@ -127,3 +127,36 @@ def test_solve_g2o_cli_roundtrip(tmp_path):
     # The written graph must already be at (near) the optimum.
     chi = float(fct.chi2(g))
     assert chi < 50.0, chi
+
+
+def test_serve_cli_synthetic(tmp_path):
+    """Multi-session serving CLI: S sessions -> per-session trajectories +
+    aggregate metrics, with the serving preset applied."""
+    from ndtpu import serve as serve_cli
+
+    cfg = {
+        "grid": {"x0": -14.0, "y0": -14.0, "cell": 0.5, "nx": 56, "ny": 56,
+                 "overlap": 4},
+        "keyframe": {"capacity": 64},
+        "loop": {"max_candidates": 4, "local_half_extent": 6.0,
+                 "min_index_gap": 8},
+        "solver": {"inc_iters": 1, "pcg_max_iter": 30},
+        "use_loop_closure": True,
+        "n_beams": 120,
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    out_dir = tmp_path / "out"
+    summary = serve_cli.main(["--config", str(cfg_path), "--sessions", "2",
+                              "--max-scans", "40",
+                              "--out-dir", str(out_dir)])
+    assert summary["sessions"] == 2
+    assert summary["scans_total"] == 80
+    for k in range(2):
+        traj = np.loadtxt(out_dir / f"traj_{k}.txt")
+        assert traj.shape == (40, 3)
+        assert np.all(np.isfinite(traj))
+        assert summary["per_session"][k]["ate_m"] < 0.3
+        assert summary["per_session"][k]["dropped"] == 0
+    m = json.loads((out_dir / "serve_metrics.json").read_text())
+    assert m["aggregate_scans_per_s"] > 0
