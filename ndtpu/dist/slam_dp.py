@@ -176,7 +176,7 @@ def _flat_graph(graph8):
     )
 
 
-def _smooth_stacked(state8, graph8, any_kf8, cfg: PipelineConfig):
+def _smooth_stacked(state8, graph8, any_kf8, need8, cfg: PipelineConfig):
     """Damped-GN/PCG smoothing for ALL sessions in one flat program.
 
     Semantics per session match the global path of
@@ -186,6 +186,17 @@ def _smooth_stacked(state8, graph8, any_kf8, cfg: PipelineConfig):
     step is never accepted because another improved), per-session lambda
     (the PCG damping takes a per-pose vector). Sessions whose window had
     no keyframe are left untouched.
+
+    ``need8`` gates the UPDATE per session (the settled-skip test): the
+    batch-level cond fires when ANY session needs smoothing, but a
+    settled session must get the SKIP semantics, not a free extra step.
+    Accepting steps for every session with a keyframe constantly nudges
+    settled sessions' keyframe poses; the map is only re-rendered on that
+    session's loop windows, so the nudges accumulate as map-vs-pose
+    mismatch and the frontend drifts off — the measured bad attractor
+    (one session per 8-session batch drifting to 2–7 m ATE with loop
+    acceptance collapsing, on 3 of 4 seed sets; per-session gating
+    restores the single-session path's behavior).
     """
     import jax.numpy as jnp
     from ndtpu.graph import factors as fct
@@ -215,15 +226,20 @@ def _smooth_stacked(state8, graph8, any_kf8, cfg: PipelineConfig):
         # latency-bound (docs/PERF.md §9).
         chi8 = chi_from(lin)
         lam_v = jnp.repeat(lam8, v)[:, None]        # [S*V, 1] per-pose lam
-        delta, _ = slv.pcg_rhs(g, lin, -slv.gradient(g, lin), lam_v, scfg)
+        # Per-SESSION Krylov scalars: global alpha/beta dot products on the
+        # block-diagonal joint system starve the small-residual sessions
+        # (one stalls, drifts, ATE 7.5 m on adversarial seeds); the blocked
+        # form is exactly S independent PCGs in lockstep.
+        delta, _ = slv.pcg_rhs_blocked(g, lin, -slv.gradient(g, lin), lam_v,
+                                       scfg, s)
         trial = slv._apply_delta(poses, delta, g.pose_mask)
         chi_t = chi_from(fct.linearize(g._replace(poses=trial), huber))
-        accept8 = (chi_t < chi8) & any_kf8          # [S]
+        accept8 = (chi_t < chi8) & need8            # [S]
         acc_v = jnp.repeat(accept8, v)[:, None]
         poses_n = jnp.where(acc_v, trial, poses)
         lam_n = jnp.where(
             accept8, jnp.maximum(lam8 / scfg.lambda_down, 1e-12),
-            jnp.where(any_kf8, lam8 * scfg.lambda_up, lam8))
+            jnp.where(need8, lam8 * scfg.lambda_up, lam8))
         d8 = jnp.max(jnp.abs(delta.reshape(s, v, 3)), axis=(1, 2))
         md_n = jnp.where(accept8, jnp.maximum(md8, d8), md8)
         return poses_n, lam_n, md_n
@@ -231,12 +247,17 @@ def _smooth_stacked(state8, graph8, any_kf8, cfg: PipelineConfig):
     poses, lam8, md8 = jax.lax.fori_loop(
         0, scfg.inc_iters, body,
         (flat.poses, state8.sm_lam, jnp.zeros((s,), dt)))
+    # Skipped-but-keyframed sessions record md=0 (the skip semantics);
+    # updated sessions record their max step; idle sessions keep history.
     sm = inc.SmootherState(
         graph=graph8._replace(poses=poses.reshape(s, v, 3)),
         lam=lam8,
-        last_max_delta=jnp.where(any_kf8, md8, state8.sm_last_delta),
+        last_max_delta=jnp.where(need8, md8,
+                                 jnp.where(any_kf8,
+                                           jnp.zeros_like(md8),
+                                           state8.sm_last_delta)),
         step=state8.sm_step + any_kf8.astype(jnp.int32))
-    return sm, any_kf8.astype(jnp.int32)   # take code 1 = global
+    return sm, need8.astype(jnp.int32)     # take code 1 = global update
 
 
 def _frontend_stacked(state8, lkr8, pts8, msk8, deltas8,
@@ -355,7 +376,7 @@ def _stacked_window_step(state8, lkr8, pts8, msk8, deltas8,
     need8 = any_kf8 & ~(settled8 & fresh_small8)
 
     def smooth_all(_):
-        return _smooth_stacked(state8, graph8, any_kf8, cfg)
+        return _smooth_stacked(state8, graph8, any_kf8, need8, cfg)
 
     def skip_all(_):
         sm = inc.SmootherState(
