@@ -107,7 +107,8 @@ def test_smooth_stacked_invariants():
         n_loops=jnp.zeros((2,), jnp.int32),
         map_kf_poses=jnp.zeros((2, 1, 3)))
     any_kf = jnp.asarray([True, False])
-    sm, take = slam_dp._smooth_stacked(state8, graph8, any_kf, cfg)
+    need = any_kf  # session 0 needs an update; session 1 is idle
+    sm, take = slam_dp._smooth_stacked(state8, graph8, any_kf, need, cfg)
     chi0_before = float(fct.chi2(g0))
     chi0_after = float(fct.chi2(
         g0._replace(poses=sm.graph.poses[0])))
@@ -117,6 +118,15 @@ def test_smooth_stacked_invariants():
                                   np.asarray(g1.poses))
     assert int(sm.step[1]) == 0 and int(sm.step[0]) == 1
     assert int(take[0]) == 1 and int(take[1]) == 0
+    # keyframed-but-settled session (any_kf=True, need=False): poses
+    # untouched (the SKIP semantics), step advances, last_max_delta -> 0.
+    sm2, take2 = slam_dp._smooth_stacked(
+        state8, graph8, jnp.asarray([True, True]),
+        jnp.asarray([True, False]), cfg)
+    np.testing.assert_array_equal(np.asarray(sm2.graph.poses[1]),
+                                  np.asarray(g1.poses))
+    assert int(take2[1]) == 0 and int(sm2.step[1]) == 1
+    assert float(sm2.last_max_delta[1]) == 0.0
 
 
 def test_hazard_guard_and_serving_config():
