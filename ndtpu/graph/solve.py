@@ -35,7 +35,7 @@ from ndtpu.lie import se2
 
 __all__ = ["SolveResult", "normal_equations", "hessian_matvec",
            "block_diag_hessian", "solve_dense", "pcg", "pcg_rhs",
-           "optimize"]
+           "pcg_rhs_blocked", "optimize"]
 
 
 class SolveResult(NamedTuple):

@@ -137,3 +137,49 @@ def test_g2o_roundtrip(tmp_path):
     np.testing.assert_array_equal(back.edges_ij, data.edges_ij)
     np.testing.assert_allclose(back.edges_z, data.edges_z, rtol=1e-6)
     np.testing.assert_allclose(back.edges_info, data.edges_info, rtol=1e-6)
+
+
+def test_pcg_rhs_blocked_matches_per_block():
+    """pcg_rhs_blocked on a block-diagonal stacked graph == pcg_rhs run
+    independently on each component (per-block Krylov scalars make the
+    lockstep iteration exactly S independent PCGs — the stacked-serving
+    smoother's correctness property, docs/PERF.md §9)."""
+    from ndtpu.dist import slam_dp
+
+    graphs = []
+    cap = 32
+    for seed in range(3):
+        gk = fct.empty_graph(cap, 2, 2 * cap, jnp.float64)
+        pose = jnp.zeros(3, jnp.float64)
+        gk = fct.add_pose(gk, pose)
+        gk = fct.add_prior(gk, 0, pose, jnp.eye(3, dtype=jnp.float64) * 10)
+        step = jnp.asarray([1.0, 0.0, 0.1], jnp.float64)
+        key = jax.random.PRNGKey(100 + seed)
+        n = 10 + 4 * seed          # different live counts per block
+        for i in range(1, n):
+            noise = 0.05 * jax.random.normal(jax.random.fold_in(key, i),
+                                             (3,), jnp.float64)
+            pose = se2.compose(pose, step + noise)
+            gk = fct.add_pose(gk, pose)
+            gk = fct.add_between(gk, i - 1, i, step,
+                                 jnp.eye(3, dtype=jnp.float64) * 5)
+        graphs.append(gk)
+    s = len(graphs)
+    stacked = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *graphs)
+    flat = slam_dp._flat_graph(stacked)
+
+    cfg = SolverConfig(pcg_max_iter=25, pcg_tol=0.0)  # fixed iteration count
+    lams = jnp.asarray([1e-4, 3e-3, 2e-2], jnp.float64)
+    lam_v = jnp.repeat(lams, cap)[:, None]
+
+    lin = fct.linearize(flat, 0.0)
+    rhs = -solve.gradient(flat, lin)
+    x_blk, _ = solve.pcg_rhs_blocked(flat, lin, rhs, lam_v, cfg, s)
+    x_blk = np.asarray(x_blk).reshape(s, cap, 3)
+
+    for k, gk in enumerate(graphs):
+        lin_k = fct.linearize(gk, 0.0)
+        rhs_k = -solve.gradient(gk, lin_k)
+        x_k, _ = solve.pcg_rhs(gk, lin_k, rhs_k, lams[k], cfg)
+        np.testing.assert_allclose(x_blk[k], np.asarray(x_k),
+                                   rtol=1e-9, atol=1e-12)
