@@ -202,12 +202,18 @@ class SolverConfig:
     # VERDICT r3 weak 5): an active update solves only the poses within
     # `local_hops` factor-hops of the newest `local_fresh_k` factors,
     # boundary poses held fixed (their coupling folds into the local
-    # residual). Capacities are static; overflow or a long-span fresh
-    # factor (a loop closure — its correction must propagate around the
-    # cycle) falls back to the global warm-started PCG update.
+    # residual). A fresh loop factor seeds its whole cycle (the index
+    # interval between its endpoints) into the active set; capacities are
+    # static, and overflow (a cycle or neighborhood too large to fit)
+    # falls back to the global warm-started PCG update.
     # local_poses=0 disables (always global).
-    local_poses: int = 128          # active-set capacity (pose slots)
-    local_factors: int = 512        # gathered-factor capacity
+    # Capacity choice: slots must hold a full loop CYCLE plus its k-hop
+    # fringe or loop windows fall back to global. Measured on the 1000-scan
+    # multilap workload (~115-keyframe laps): 128/512 slots -> 14% of
+    # windows global, 0.8% local; 256/1024 -> 0% global, every active loop
+    # window local, ATE 0.074 -> 0.066 m (docs/PERF.md §4).
+    local_poses: int = 256          # active-set capacity (pose slots)
+    local_factors: int = 1024       # gathered-factor capacity
     local_hops: int = 2
     local_fresh_k: int = 32         # newest factors seeding the active set
     # Fresh factor with |i - j| > this => loop closure => global update.
